@@ -1,0 +1,365 @@
+"""Default config tree — full flag surface of the reference stack.
+
+Mirrors, in one place, the three layers of the reference config:
+  * detectron2 defaults (BSGAL/third_party/CenterNet2/detectron2/config/defaults.py)
+  * ``add_centernet_config`` (CenterNet2/centernet/config.py, 75 flags)
+  * ``add_divergen_config`` / ``add_bsgal_config``
+    (DiverGen/divergen/config.py:4-209, BSGAL/bsgal/config.py:4-220)
+
+Flags the TPU build does not consume yet are still declared so reference
+YAML configs merge cleanly; consumers assert on the subset they read.
+"""
+from __future__ import annotations
+
+from .config import ConfigNode
+
+
+def get_cfg() -> ConfigNode:
+    c = ConfigNode()
+    c.VERSION = 2
+    c.OUTPUT_DIR = "./output"
+    c.SEED = 42
+    c.FP16 = False  # bf16 mixed precision on TPU (ref: cfg.FP16, train_net.py:277)
+    c.FIND_UNUSED_PARAM = True  # DDP flag; no-op under pjit (train_net.py:357)
+    c.DEBUG = False
+    c.SAVE_DEBUG = False
+    c.SAVE_PTH = False
+    c.VIS_THRESH = 0.3
+    c.DEBUG_SHOW_NAME = False
+    c.GEN_PSEDO_LABELS = False
+    c.QUICK_DEBUG = False
+    c.EVAL_CACHE = False
+    c.EVAL_AP_FIX = False
+    c.EVAL_PROPOSAL_AR = False
+    c.EVAL_CAT_SPEC_AR = False
+    c.IS_DEBUG = False
+
+    # ---------------- MODEL ----------------
+    m = c.MODEL = ConfigNode()
+    m.DEVICE = "tpu"
+    m.META_ARCHITECTURE = "CustomRCNN"
+    m.MASK_ON = True
+    m.KEYPOINT_ON = False
+    m.PIXEL_MEAN = [123.675, 116.28, 103.53]
+    m.PIXEL_STD = [58.395, 57.12, 57.375]
+    m.WEIGHTS = ""
+    m.SYNC_CAPTION_BATCH = False
+    m.WITH_CAPTION = False
+    m.CAP_BATCH_RATIO = 4
+    m.DYNAMIC_CLASSIFIER = False
+    m.NUM_SAMPLE_CATS = 50
+    m.ROI_BOX_HEAD_2 = ConfigNode()
+
+    m.BACKBONE = ConfigNode()
+    m.BACKBONE.NAME = "build_resnet_fpn_backbone"
+    m.BACKBONE.FREEZE_AT = 0
+
+    m.FPN = ConfigNode()
+    m.FPN.IN_FEATURES = ["res3", "res4", "res5"]
+    m.FPN.OUT_CHANNELS = 256
+    m.FPN.NORM = ""
+    m.FPN.FUSE_TYPE = "sum"
+
+    m.RESNETS = ConfigNode()
+    m.RESNETS.DEPTH = 50
+    m.RESNETS.OUT_FEATURES = ["res3", "res4", "res5"]
+    m.RESNETS.NUM_GROUPS = 1
+    m.RESNETS.WIDTH_PER_GROUP = 64
+    m.RESNETS.STEM_OUT_CHANNELS = 64
+    m.RESNETS.RES2_OUT_CHANNELS = 256
+    m.RESNETS.NORM = "FrozenBN"
+    m.RESNETS.STRIDE_IN_1X1 = True
+
+    m.SWIN = ConfigNode()
+    m.SWIN.SIZE = "T"  # T / S / B / L (divergen swintransformer.py:716)
+    m.SWIN.USE_CHECKPOINT = False
+    m.SWIN.OUT_FEATURES = (1, 2, 3)
+
+    m.TIMM = ConfigNode()
+    m.TIMM.BASE_NAME = "resnet50_in21k"
+    m.TIMM.OUT_LEVELS = (3, 4, 5)
+    m.TIMM.NORM = "FrozenBN"
+    m.TIMM.FREEZE_AT = 0
+
+    m.VIT = ConfigNode()  # DiverGen/divergen/config.py:195-206
+    m.VIT.NAME = "ViT-B"
+    m.VIT.OUT_FEATURES = ["s3", "s4", "s5"]
+    m.VIT.DROP_PATH_RATE = 0.1
+    m.VIT.IMG_SIZE = 1024
+    m.VIT.USE_ACT_CHECKPOINT = True
+    m.VIT.PRETRAIN_IMG_SIZE = 224
+    m.VIT.PRETRAIN_USE_CLS_TOKEN = True
+
+    m.CONVNEXT = ConfigNode()
+    m.CONVNEXT.SIZE = "L"
+    m.CONVNEXT.OUT_FEATURES = (1, 2, 3)
+
+    m.PROPOSAL_GENERATOR = ConfigNode()
+    m.PROPOSAL_GENERATOR.NAME = "CenterNet"
+    m.PROPOSAL_GENERATOR.MIN_SIZE = 0
+
+    # CenterNet2 dense head (centernet/config.py)
+    cn = m.CENTERNET = ConfigNode()
+    cn.NUM_CLASSES = 80
+    cn.IN_FEATURES = ["p3", "p4", "p5", "p6", "p7"]
+    cn.FPN_STRIDES = [8, 16, 32, 64, 128]
+    cn.PRIOR_PROB = 0.01
+    cn.INFERENCE_TH = 0.05
+    cn.CENTER_NMS = False
+    cn.NMS_TH_TRAIN = 0.6
+    cn.NMS_TH_TEST = 0.6
+    cn.PRE_NMS_TOPK_TRAIN = 1000
+    cn.POST_NMS_TOPK_TRAIN = 100
+    cn.PRE_NMS_TOPK_TEST = 1000
+    cn.POST_NMS_TOPK_TEST = 100
+    cn.NORM = "GN"
+    cn.USE_DEFORMABLE = False
+    cn.NUM_CLS_CONVS = 4
+    cn.NUM_BOX_CONVS = 4
+    cn.NUM_SHARE_CONVS = 0
+    cn.LOC_LOSS_TYPE = "giou"
+    cn.SIGMOID_CLAMP = 1e-4
+    cn.HM_MIN_OVERLAP = 0.8
+    cn.MIN_RADIUS = 4
+    cn.SOI = [[0, 80], [64, 160], [128, 320], [256, 640], [512, 10000000]]
+    cn.POS_WEIGHT = 0.5
+    cn.NEG_WEIGHT = 0.5
+    cn.REG_WEIGHT = 1.0
+    cn.HM_FOCAL_BETA = 4
+    cn.HM_FOCAL_ALPHA = 0.25
+    cn.LOSS_GAMMA = 2.0
+    cn.WITH_AGN_HM = True
+    cn.ONLY_PROPOSAL = True
+    cn.AS_PROPOSAL = False
+    cn.IGNORE_HIGH_FP = 0.85
+    cn.MORE_POS = False
+    cn.MORE_POS_THRESH = 0.2
+    cn.MORE_POS_TOPK = 9
+    cn.NOT_NORM_REG = True
+    cn.NOT_NMS = False
+
+    r = m.ROI_HEADS = ConfigNode()
+    r.NAME = "DeticCascadeROIHeads"
+    r.NUM_CLASSES = 80
+    r.IN_FEATURES = ["p3", "p4", "p5"]
+    r.IOU_THRESHOLDS = [0.5]
+    r.IOU_LABELS = [0, 1]
+    r.BATCH_SIZE_PER_IMAGE = 512
+    r.POSITIVE_FRACTION = 0.25
+    r.SCORE_THRESH_TEST = 0.05
+    r.NMS_THRESH_TEST = 0.5
+    r.PROPOSAL_APPEND_GT = True
+    r.MASK_WEIGHT = 1.0
+    r.ONE_CLASS_PER_PROPOSAL = False
+    r.MULT_PROPOSAL_SCORE = True  # geometric-mean fusion (detic_roi_heads.py:251)
+    r.DETECTIONS_PER_IMAGE = 300
+
+    b = m.ROI_BOX_HEAD = ConfigNode()
+    b.NAME = "FastRCNNConvFCHead"
+    b.NUM_FC = 2
+    b.FC_DIM = 1024
+    b.NUM_CONV = 0
+    b.CONV_DIM = 256
+    b.NORM = ""
+    b.POOLER_RESOLUTION = 7
+    b.POOLER_SAMPLING_RATIO = 0
+    b.POOLER_TYPE = "ROIAlignV2"
+    b.CLS_AGNOSTIC_BBOX_REG = True
+    b.SMOOTH_L1_BETA = 0.0
+    b.BBOX_REG_LOSS_TYPE = "smooth_l1"
+    b.BBOX_REG_LOSS_WEIGHT = 1.0
+    b.BBOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+    b.TRAIN_ON_PRED_BOXES = False
+    # Detic extensions (divergen/config.py:30-78)
+    b.MULT_OBJECT_SCORE = False
+    b.USE_ZEROSHOT_CLS = False
+    b.ZEROSHOT_WEIGHT_PATH = ""
+    b.ZEROSHOT_WEIGHT_DIM = 512
+    b.NORM_WEIGHT = True
+    b.NORM_TEMP = 50.0
+    b.IGNORE_ZERO_CATS = False
+    b.USE_BIAS = 0.0
+    b.USE_FED_LOSS = False
+    b.CAT_FREQ_PATH = "datasets/metadata/lvis_v1_train_cat_info.json"
+    b.FED_LOSS_FREQ_WEIGHT = 0.5
+    b.FED_LOSS_NUM_CAT = 50
+    b.USE_SIGMOID_CE = False
+    b.PRIOR_PROB = 0.01
+    b.DEL_RARE_CLS = False
+    b.ADD_IMAGE_BOX = False
+    b.IMAGE_BOX_SIZE = 1.0
+    b.IMAGE_LABEL_LOSS = "max_size"
+    b.IMAGE_LOSS_WEIGHT = 0.1
+    b.WITH_SOFTMAX_PROP = False
+    b.CAPTION_WEIGHT = 1.0
+    b.NEG_CAP_WEIGHT = 1.0
+    b.ADD_FEATURE_TO_PROP = False
+    b.SOFTMAX_WEAK_LOSS = False
+
+    cascade = m.ROI_BOX_CASCADE_HEAD = ConfigNode()
+    cascade.BBOX_REG_WEIGHTS = (
+        (10.0, 10.0, 5.0, 5.0),
+        (20.0, 20.0, 10.0, 10.0),
+        (30.0, 30.0, 15.0, 15.0),
+    )
+    cascade.IOUS = (0.5, 0.6, 0.7)
+
+    mk = m.ROI_MASK_HEAD = ConfigNode()
+    mk.NAME = "MaskRCNNConvUpsampleHead"
+    mk.NUM_CONV = 4
+    mk.CONV_DIM = 256
+    mk.NORM = ""
+    mk.POOLER_RESOLUTION = 14
+    mk.POOLER_SAMPLING_RATIO = 0
+    mk.POOLER_TYPE = "ROIAlignV2"
+    mk.CLS_AGNOSTIC_MASK = True
+    # RefineMask head (divergen refine_mask_head.py:79)
+    mk.OUT_CHANNEL = 256
+    mk.NUM_FCS = 2
+    mk.STAGE_NUM_CLASSES = [80, 80, 80, 80]
+    mk.STAGE_SUP_SIZE = [14, 28, 56, 112]
+
+    m.MODEL_EMA = 0.0  # decay; 0 disables (ref divergen/ema.py + config)
+
+    # BSGAL active-learning block (BSGAL/bsgal/config.py:54-79)
+    a = m.ACTIVE = ConfigNode()
+    a.ENABLED = False
+    a.MODE = "paste_or_ori"  # paste_or_zero | paste_or_ori | paste_only
+    a.LOSS = ["loss_cls_stage0", "loss_cls_stage1", "loss_cls_stage2"]
+    a.GRAD_COMPARE = True
+    a.FORWARD_ONCE = True
+    a.ONCE_MODE = "only_paste_-0.05"
+    a.MOMENTUM = 0.1
+    a.BANK_UPDATE_PERIOD = 1
+    a.BANK_CKPT_PERIOD = 10000
+    a.THRESHOLD = -0.05
+    a.DYNAMIC_THRESHOLD = False
+    a.DYNAMIC_PERCENT = 0.5
+    a.QUEUE_SIZE = 1000
+    a.PROBE_BATCH = 4
+    a.OPTIMIZER = "SGD"
+    a.INNER_LR = 0.01
+    a.SEPARATE_SYN = False
+    a.LOG_PERIOD = 100
+
+    # ---------------- INPUT ----------------
+    i = c.INPUT = ConfigNode()
+    i.FORMAT = "RGB"
+    i.MIN_SIZE_TRAIN = (640,)
+    i.MAX_SIZE_TRAIN = 1333
+    i.MIN_SIZE_TEST = 640
+    i.MAX_SIZE_TEST = 1333
+    i.MASK_FORMAT = "bitmask"
+    i.CUSTOM_AUG = "EfficientDetResizeCrop"
+    i.TRAIN_SIZE = 640
+    i.TEST_SIZE = 640
+    i.SCALE_RANGE = (0.1, 2.0)
+    i.TEST_INPUT_TYPE = "default"
+    i.NOT_CLAMP_BOX = False
+    # copy-paste surface (divergen/config.py:79-180)
+    i.USE_COPY_PASTE = False
+    i.COPY_PASTE_PROB = 1.0
+    i.INST_POOL = True
+    i.INST_POOL_PATH = ""
+    i.INST_POOL_SAMPLE_NUM = 2
+    i.INST_POOL_SAMPLE_STRATEGY = "random"  # random|cas_random|cats_random|...
+    i.COPY_PASTE_METHOD = "basic"  # basic|alpha|gaussian|possion (custom_cp_method.py:5)
+    i.CP_METHOD = "basic"
+    i.COPY_METHOD = "both"  # both|self_copy|syn_copy|p:<f> (mapper :884-890)
+    i.SELF_COPY_MODE = "random"  # random|in_domain|cas|the_cls
+    i.RM_BG_PROB = 0.0
+    i.USE_INSTABOOST = False
+    i.USE_COLOR_JITTER = False
+    i.COLOR_JITTER_FREQ = ["r", "c", "f"]
+    i.USE_TORCHVISION_JITTER = False
+    i.INST_POOL_FREQ = ["r", "c", "f"]
+    i.FILTER_VAL = 0.0
+    i.RANDOM_SCALE = False  # uniform scale sampling vs area priors (:386-398)
+    i.RANDOM_SCALE_MIN = 0.1
+    i.RANDOM_SCALE_MAX = 2.0
+    i.AREA_PRIOR_PATH = "datasets/metadata/area_mean_std2.json"
+    i.PASTE_MAX_INST = 20
+    i.BLANK_RATIO = 0.0
+    i.ROTATE_AUG = False
+    i.INP_ROTATE_PROB = 0.0
+    i.VIS_RESULT = False
+    i.LOG_SCP_PARAM = False
+    i.RC_ONLY = False
+    i.F_ONLY = False
+    i.RFS_VERSION = 0
+    i.USE_RFS = False
+    # BSGAL extras (bsgal/config.py:177-197)
+    i.ACTIVE_SELECT = False
+    i.SEPARATE_SYN = False
+    i.SEPERATE_SUP = False
+    i.TRANSITION_MATRIX_PATH = ""
+
+    # ---------------- DATASETS ----------------
+    d = c.DATASETS = ConfigNode()
+    d.TRAIN = ("lvis_v1_train",)
+    d.TEST = ("lvis_v1_val",)
+    d.LVIS_PATH = "datasets/lvis"
+    d.IMAGE_ROOT = "datasets/coco"
+    d.METADATA_PATH = "datasets/metadata"
+
+    # ---------------- DATALOADER ----------------
+    dl = c.DATALOADER = ConfigNode()
+    dl.NUM_WORKERS = 4
+    dl.SAMPLER_TRAIN = "TrainingSampler"
+    dl.REPEAT_THRESHOLD = 0.001
+    dl.FILTER_EMPTY_ANNOTATIONS = False
+    dl.ASPECT_RATIO_GROUPING = True
+    dl.DATASET_RATIO = [1.0]
+    dl.USE_DIFF_BS_SIZE = False
+    dl.DATASET_BS = [8]
+    dl.USE_RFS = [False]
+    dl.MULTI_DATASET_GROUPING = False
+    dl.DATASET_ANN = ["box"]
+    dl.USE_TAR_DATASET = False
+    dl.PREFETCH_FACTOR = 2
+    dl.MAX_INSTANCES = 100  # static padded capacity per image
+    dl.PREFETCH_TO_DEVICE = 2
+
+    # ---------------- SOLVER ----------------
+    s = c.SOLVER = ConfigNode()
+    s.IMS_PER_BATCH = 16
+    s.BASE_LR = 0.0001
+    s.MAX_ITER = 90000
+    s.OPTIMIZER = "ADAMW"
+    s.MOMENTUM = 0.9
+    s.WEIGHT_DECAY = 0.0001
+    s.WEIGHT_DECAY_NORM = 0.0
+    s.LR_SCHEDULER_NAME = "WarmupCosineLR"
+    s.STEPS = (60000, 80000)
+    s.GAMMA = 0.1
+    s.WARMUP_FACTOR = 0.001
+    s.WARMUP_ITERS = 10000
+    s.WARMUP_METHOD = "linear"
+    s.CLIP_GRADIENTS = ConfigNode()
+    s.CLIP_GRADIENTS.ENABLED = False
+    s.CLIP_GRADIENTS.CLIP_TYPE = "full_model"
+    s.CLIP_GRADIENTS.CLIP_VALUE = 1.0
+    s.CLIP_GRADIENTS.NORM_TYPE = 2.0
+    s.RESET_ITER = False
+    s.TRAIN_ITER = -1
+    s.USE_CUSTOM_SOLVER = True
+    s.BACKBONE_MULTIPLIER = 1.0
+    s.CUSTOM_MULTIPLIER = 1.0
+    s.CUSTOM_MULTIPLIER_NAME = []
+    s.CHECKPOINT_PERIOD = 10000
+
+    # ---------------- TEST ----------------
+    t = c.TEST = ConfigNode()
+    t.EVAL_PERIOD = 0
+    t.DETECTIONS_PER_IMAGE = 300
+    t.AUG = ConfigNode()
+    t.AUG.ENABLED = False
+
+    # ---------------- PARALLEL (TPU-native; replaces launch/DDP flags) ---
+    p = c.PARALLEL = ConfigNode()
+    p.MESH_AXES = ("data", "model")
+    p.DATA_PARALLEL = -1  # -1: all devices on the data axis
+    p.MODEL_PARALLEL = 1
+    p.REMAT = False  # jax.checkpoint the backbone
+
+    return c

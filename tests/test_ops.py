@@ -1,0 +1,194 @@
+"""Kernel tests vs numpy references (pattern: detectron2 tests/layers/)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from divergen_tpu.ops import (
+    batched_nms_mask,
+    flash_attention,
+    heatmap_focal_loss,
+    iou_loss,
+    multilevel_roi_align,
+    nms_mask,
+    paste_masks,
+    reference_attention,
+    roi_align,
+    smooth_l1_loss,
+    top_scoring,
+)
+
+
+def np_greedy_nms(boxes, scores, thresh):
+    order = np.argsort(-scores)
+    keep = np.zeros(len(boxes), bool)
+    suppressed = np.zeros(len(boxes), bool)
+    for idx in order:
+        if suppressed[idx]:
+            continue
+        keep[idx] = True
+        a = boxes[idx]
+        for j in order:
+            if j == idx or suppressed[j] or keep[j]:
+                continue
+            b = boxes[j]
+            ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
+            ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])
+            inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+            ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+            if inter > 0 and inter / ua > thresh:
+                suppressed[j] = True
+    return keep
+
+
+class TestNMS:
+    def test_matches_numpy_greedy(self, rng):
+        for _ in range(5):
+            xy = rng.rand(40, 2) * 60
+            wh = rng.rand(40, 2) * 40 + 2
+            boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+            scores = rng.rand(40).astype(np.float32)
+            got = np.asarray(nms_mask(jnp.array(boxes), jnp.array(scores), 0.5))
+            want = np_greedy_nms(boxes, scores, 0.5)
+            np.testing.assert_array_equal(got, want)
+
+    def test_invalid_rows_ignored(self, rng):
+        boxes = jnp.array([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]], jnp.float32)
+        scores = jnp.array([0.9, 0.8, 0.7])
+        valid = jnp.array([False, True, True])
+        keep = nms_mask(boxes, scores, 0.5, valid)
+        assert keep.tolist() == [False, True, True]
+
+    def test_batched_classes_dont_suppress(self):
+        boxes = jnp.array([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
+        scores = jnp.array([0.9, 0.8])
+        classes = jnp.array([0, 1])
+        keep = batched_nms_mask(boxes, scores, classes, 0.5)
+        assert keep.tolist() == [True, True]
+
+    def test_top_scoring_static(self):
+        boxes = jnp.arange(20, dtype=jnp.float32).reshape(5, 4)
+        scores = jnp.array([0.1, 0.9, 0.5, 0.7, 0.3])
+        keep = jnp.array([True, True, False, True, True])
+        ob, os_, valid, _, _ = top_scoring(boxes, scores, keep, 3)
+        np.testing.assert_allclose(os_, [0.9, 0.7, 0.3])
+        assert valid.tolist() == [True, True, True]
+
+
+def np_roi_align(feat, box, out, scale, ratio=2):
+    # feat: (H, W, C)
+    h, w, c = feat.shape
+
+    def bil(y, x):
+        if y < -1 or y > h or x < -1 or x > w:
+            return np.zeros(c)
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        res = np.zeros(c)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                yy, xx = y0 + dy, x0 + dx
+                wgt = (1 - abs(y - yy)) * (1 - abs(x - xx))
+                if 0 <= yy < h and 0 <= xx < w and wgt > 0:
+                    res += wgt * feat[yy, xx]
+        return res
+
+    x1, y1, x2, y2 = box * scale - 0.5 * np.array([1, 1, 1, 1]) * 0  # placeholder
+    x1 = box[0] * scale - 0.5
+    y1 = box[1] * scale - 0.5
+    x2 = box[2] * scale - 0.5
+    y2 = box[3] * scale - 0.5
+    bw = max(x2 - x1, 1e-6) / out
+    bh = max(y2 - y1, 1e-6) / out
+    res = np.zeros((out, out, c))
+    for i in range(out):
+        for j in range(out):
+            acc = np.zeros(c)
+            for sy in range(ratio):
+                for sx in range(ratio):
+                    y = y1 + (i + (sy + 0.5) / ratio) * bh
+                    x = x1 + (j + (sx + 0.5) / ratio) * bw
+                    acc += bil(y, x)
+            res[i, j] = acc / (ratio * ratio)
+    return res
+
+
+class TestROIAlign:
+    def test_matches_numpy(self, rng):
+        feat = rng.rand(16, 16, 4).astype(np.float32)
+        boxes = np.array([[4.0, 4, 40, 40], [0, 0, 17, 9]], np.float32)
+        got = np.asarray(roi_align(jnp.array(feat), jnp.array(boxes), 4, 0.25))
+        for i, b in enumerate(boxes):
+            want = np_roi_align(feat, b, 4, 0.25)
+            np.testing.assert_allclose(got[i], want, atol=1e-4)
+
+    def test_multilevel_shapes_and_level_routing(self, rng):
+        feats = [rng.rand(32, 32, 8).astype(np.float32), rng.rand(16, 16, 8).astype(np.float32)]
+        # small box → level 0 (stride 8); huge box → level 1 (stride 16)
+        boxes = jnp.array([[0, 0, 32, 32], [0, 0, 250, 250]], jnp.float32)
+        out = multilevel_roi_align([jnp.array(f) for f in feats], [8, 16], boxes, 7)
+        assert out.shape == (2, 7, 7, 8)
+        want_small = roi_align(jnp.array(feats[0]), boxes[:1], 7, 1 / 8)
+        np.testing.assert_allclose(out[0], want_small[0], atol=1e-5)
+        want_big = roi_align(jnp.array(feats[1]), boxes[1:], 7, 1 / 16)
+        np.testing.assert_allclose(out[1], want_big[0], atol=1e-5)
+
+
+class TestPasteMasks:
+    def test_full_box_identity(self):
+        m = np.ones((1, 4, 4), np.float32)
+        out = paste_masks(jnp.array(m), jnp.array([[2.0, 2, 10, 10]]), (12, 12))
+        # inside the box → 1, outside → 0
+        assert float(out[0, 3:9, 3:9].min()) == 1.0
+        assert float(out[0, :2, :].max()) == 0.0
+        assert float(out[0, 11:, :].max()) == 0.0
+
+    def test_soft_output(self):
+        m = np.ones((1, 2, 2), np.float32)
+        out = paste_masks(jnp.array(m), jnp.array([[0.0, 0, 6, 6]]), (8, 8), threshold=-1)
+        assert out.dtype == jnp.float32
+        assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+
+
+class TestLosses:
+    def test_heatmap_focal_perfect_pred(self):
+        logits = jnp.array([10.0, -10.0, -10.0])
+        targets = jnp.array([1.0, 0.0, 0.0])
+        pos = jnp.array([True, False, False])
+        p, n = heatmap_focal_loss(logits, targets, pos)
+        assert float(p) < 1e-2 and float(n) < 1e-2
+
+    def test_iou_loss_zero_at_match(self):
+        t = jnp.array([[1.0, 2, 3, 4]])
+        assert float(iou_loss(t, t, loss_type="giou")) < 1e-5
+        assert float(iou_loss(t, t, loss_type="linear_iou")) < 1e-5
+
+    def test_smooth_l1(self):
+        p = jnp.array([0.0, 2.0])
+        t = jnp.array([0.5, 0.0])
+        np.testing.assert_allclose(smooth_l1_loss(p, t, 1.0), [0.125, 1.5])
+        np.testing.assert_allclose(smooth_l1_loss(p, t, 0.0), [0.5, 2.0])
+
+
+class TestAttention:
+    def test_reference_matches_naive(self, rng):
+        q = jnp.array(rng.randn(2, 8, 16).astype(np.float32))
+        k = jnp.array(rng.randn(2, 8, 16).astype(np.float32))
+        v = jnp.array(rng.randn(2, 8, 16).astype(np.float32))
+        out = reference_attention(q, k, v)
+        s = np.einsum("bqd,bkd->bqk", q, k) / np.sqrt(16)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        want = np.einsum("bqk,bkd->bqd", p, v)
+        np.testing.assert_allclose(out, want, atol=1e-5)
+
+    def test_flash_cpu_fallback(self, rng):
+        q = jnp.array(rng.randn(2, 64, 32).astype(np.float32))
+        out = flash_attention(q, q, q)
+        np.testing.assert_allclose(out, reference_attention(q, q, q), atol=1e-5)
+
+    def test_bias(self, rng):
+        q = jnp.array(rng.randn(1, 8, 16).astype(np.float32))
+        bias = jnp.full((1, 8, 8), 0.0).at[:, :, 4:].set(-1e30)
+        out = flash_attention(q, q, q, bias=bias)
+        want = reference_attention(q[:, :, :], q[:, :4], q[:, :4])
+        np.testing.assert_allclose(out, want, atol=1e-5)
