@@ -100,18 +100,18 @@ def get_cfg() -> ConfigNode:
 
     # CenterNet2 dense head (centernet/config.py)
     cn = m.CENTERNET = ConfigNode()
-    cn.NUM_CLASSES = 80
+    cn.NUM_CLASSES = 1203
     cn.IN_FEATURES = ["p3", "p4", "p5", "p6", "p7"]
     cn.FPN_STRIDES = [8, 16, 32, 64, 128]
     cn.PRIOR_PROB = 0.01
-    cn.INFERENCE_TH = 0.05
+    cn.INFERENCE_TH = 0.0001
     cn.CENTER_NMS = False
-    cn.NMS_TH_TRAIN = 0.6
-    cn.NMS_TH_TEST = 0.6
-    cn.PRE_NMS_TOPK_TRAIN = 1000
-    cn.POST_NMS_TOPK_TRAIN = 100
+    cn.NMS_TH_TRAIN = 0.9
+    cn.NMS_TH_TEST = 0.9
+    cn.PRE_NMS_TOPK_TRAIN = 4000
+    cn.POST_NMS_TOPK_TRAIN = 2000
     cn.PRE_NMS_TOPK_TEST = 1000
-    cn.POST_NMS_TOPK_TEST = 100
+    cn.POST_NMS_TOPK_TEST = 256
     cn.NORM = "GN"
     cn.USE_DEFORMABLE = False
     cn.NUM_CLS_CONVS = 4
@@ -140,13 +140,13 @@ def get_cfg() -> ConfigNode:
 
     r = m.ROI_HEADS = ConfigNode()
     r.NAME = "DeticCascadeROIHeads"
-    r.NUM_CLASSES = 80
+    r.NUM_CLASSES = 1203
     r.IN_FEATURES = ["p3", "p4", "p5"]
-    r.IOU_THRESHOLDS = [0.5]
+    r.IOU_THRESHOLDS = [0.6]
     r.IOU_LABELS = [0, 1]
     r.BATCH_SIZE_PER_IMAGE = 512
     r.POSITIVE_FRACTION = 0.25
-    r.SCORE_THRESH_TEST = 0.05
+    r.SCORE_THRESH_TEST = 0.02
     r.NMS_THRESH_TEST = 0.5
     r.PROPOSAL_APPEND_GT = True
     r.MASK_WEIGHT = 1.0
@@ -179,11 +179,11 @@ def get_cfg() -> ConfigNode:
     b.NORM_TEMP = 50.0
     b.IGNORE_ZERO_CATS = False
     b.USE_BIAS = 0.0
-    b.USE_FED_LOSS = False
+    b.USE_FED_LOSS = True
     b.CAT_FREQ_PATH = "datasets/metadata/lvis_v1_train_cat_info.json"
     b.FED_LOSS_FREQ_WEIGHT = 0.5
     b.FED_LOSS_NUM_CAT = 50
-    b.USE_SIGMOID_CE = False
+    b.USE_SIGMOID_CE = True
     b.PRIOR_PROB = 0.01
     b.DEL_RARE_CLS = False
     b.ADD_IMAGE_BOX = False
@@ -202,7 +202,7 @@ def get_cfg() -> ConfigNode:
         (20.0, 20.0, 10.0, 10.0),
         (30.0, 30.0, 15.0, 15.0),
     )
-    cascade.IOUS = (0.5, 0.6, 0.7)
+    cascade.IOUS = (0.6, 0.7, 0.8)
 
     mk = m.ROI_MASK_HEAD = ConfigNode()
     mk.NAME = "MaskRCNNConvUpsampleHead"

@@ -1,0 +1,173 @@
+"""CustomRCNN meta-architecture — backbone + FPN + CenterNet + cascade heads.
+
+Counterpart of ``DiverGen/divergen/modeling/meta_arch/custom_rcnn.py:24-332``
+(a GeneralizedRCNN subclass). The torch version dispatches through three
+registries and mutates ragged ``Instances``; here the meta-arch is one flax
+module whose ``__call__`` takes a batched, padded sample dict and returns
+either a loss dict (train) or padded detections (inference). bf16 mixed
+precision replaces the reference's fp16 autocast on the backbone
+(custom_rcnn.py:141-146) — on TPU, bf16 needs no GradScaler.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..backbone.fpn import FPN
+from ..backbone.resnet import ResNet
+from ..centernet.centernet import (
+    CenterNetConfig,
+    CenterNetHead,
+    centernet_ground_truth,
+    centernet_losses,
+    centernet_proposals,
+    level_geometry,
+)
+from ..roi_heads.cascade_heads import CascadeROIHeads, ROIHeadsConfig
+
+
+class CustomRCNN(nn.Module):
+    """End-to-end detector. ``backbone_name`` selects resnet/swin/etc."""
+
+    centernet_cfg: CenterNetConfig
+    roi_cfg: ROIHeadsConfig
+    backbone_name: str = "resnet50"
+    fpn_in_features: Tuple[str, ...] = ("res3", "res4", "res5")
+    fpn_out_channels: int = 256
+    pixel_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    pixel_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    backbone_norm: str = "FrozenBN"
+    compute_dtype: Any = jnp.bfloat16
+    swin_size: str = "T"
+    remat_backbone: bool = False
+
+    def setup(self):
+        if self.backbone_name.startswith("resnet"):
+            depth = int(self.backbone_name.replace("resnet", "") or 50)
+            body = ResNet(
+                depth=depth,
+                norm=self.backbone_norm,
+                out_features=self.fpn_in_features,
+                dtype=self.compute_dtype,
+                name="bottom_up",
+            )
+        elif self.backbone_name == "swin":
+            from ..backbone.swin import SwinTransformer
+
+            body = SwinTransformer.from_size(
+                self.swin_size, dtype=self.compute_dtype, name="bottom_up"
+            )
+        else:
+            raise ValueError(f"unknown backbone {self.backbone_name}")
+        self.body = body
+        self.fpn = FPN(
+            in_features=self.fpn_in_features,
+            out_channels=self.fpn_out_channels,
+            dtype=self.compute_dtype,
+            name="fpn",
+        )
+        self.centernet_head = CenterNetHead(
+            self.centernet_cfg, dtype=self.compute_dtype, name="centernet_head"
+        )
+        self.roi_heads = CascadeROIHeads(self.roi_cfg, dtype=self.compute_dtype, name="roi_heads")
+
+    def _features(self, images: Array) -> Dict[str, Array]:
+        mean = jnp.asarray(self.pixel_mean, jnp.float32)
+        std = jnp.asarray(self.pixel_std, jnp.float32)
+        x = (images - mean) / std
+        x = x.astype(self.compute_dtype)
+        feats = self.body(x)
+        return self.fpn(feats)
+
+    def __call__(
+        self,
+        images: Array,  # (B, H, W, 3) float RGB 0-255
+        image_sizes: Array,  # (B, 2)
+        gt: Optional[Dict[str, Array]] = None,
+        rng: Optional[Array] = None,
+        fed_weight: Optional[Array] = None,
+        training: bool = True,
+        axis_name: Optional[str] = None,
+    ):
+        features = self._features(images)
+        cn_feats = [features[f] for f in self.centernet_cfg.in_features]
+        agn_hms, bbox_regs = self.centernet_head(cn_feats)
+        feature_shapes = tuple((f.shape[1], f.shape[2]) for f in cn_feats)
+        geom = level_geometry(self.centernet_cfg, feature_shapes)
+        # flatten levels → (B, M)
+        agn_flat = jnp.concatenate(
+            [a.reshape(a.shape[0], -1) for a in agn_hms], axis=1
+        ).astype(jnp.float32)
+        reg_flat = jnp.concatenate(
+            [r.reshape(r.shape[0], -1, 4) for r in bbox_regs], axis=1
+        ).astype(jnp.float32)
+
+        if training:
+            assert gt is not None and rng is not None
+            reg_targets, heatmaps, pos_count = centernet_ground_truth(
+                self.centernet_cfg, geom, gt["boxes"], gt["valid"]
+            )
+            losses = centernet_losses(
+                self.centernet_cfg,
+                agn_flat,
+                reg_flat,
+                reg_targets,
+                heatmaps,
+                pos_count,
+                axis_name=axis_name,
+            )
+            proposals = centernet_proposals(
+                self.centernet_cfg,
+                geom,
+                jax.lax.stop_gradient(agn_flat),
+                jax.lax.stop_gradient(reg_flat),
+                image_sizes,
+                training=True,
+            )
+            roi_losses = self.roi_heads.losses(
+                rng,
+                features,
+                proposals,
+                gt,
+                fed_weight=fed_weight,
+                axis_name=axis_name,
+            )
+            losses.update(roi_losses)
+            return losses
+        else:
+            proposals = centernet_proposals(
+                self.centernet_cfg, geom, agn_flat, reg_flat, image_sizes, training=False
+            )
+            return self.roi_heads.inference(features, proposals, image_sizes)
+
+
+def build_model(cfg) -> CustomRCNN:
+    """Assemble CustomRCNN from a ConfigNode (mirrors build_model +
+    META_ARCH/BACKBONE registries, train_net.py:353)."""
+    cn_cfg = CenterNetConfig.from_cfg(cfg)
+    roi_cfg = ROIHeadsConfig.from_cfg(cfg)
+    name = cfg.MODEL.BACKBONE.NAME
+    if "swin" in name.lower():
+        backbone = "swin"
+        fpn_in = ("s3", "s4", "s5")
+        swin_size = cfg.MODEL.SWIN.SIZE
+    else:
+        backbone = f"resnet{cfg.MODEL.RESNETS.DEPTH}"
+        fpn_in = ("res3", "res4", "res5")
+        swin_size = "T"
+    return CustomRCNN(
+        centernet_cfg=cn_cfg,
+        roi_cfg=roi_cfg,
+        backbone_name=backbone,
+        fpn_in_features=fpn_in,
+        fpn_out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        backbone_norm=cfg.MODEL.RESNETS.NORM,
+        compute_dtype=jnp.bfloat16 if cfg.FP16 else jnp.float32,
+        swin_size=swin_size,
+    )

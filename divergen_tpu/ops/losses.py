@@ -23,7 +23,7 @@ from jax import Array
 def heatmap_focal_loss(
     logits: Array,
     targets: Array,
-    pos_mask: Array,
+    pos_count: Array,
     alpha: float = 0.25,
     beta: float = 4.0,
     gamma: float = 2.0,
@@ -32,14 +32,20 @@ def heatmap_focal_loss(
 ) -> tuple[Array, Array]:
     """Binary penalty-reduced focal loss on a gaussian-rendered heatmap.
 
+    Exact semantics of ``binary_heatmap_focal_loss`` (heatmap_focal_loss.py:
+    52-88): the negative term runs over *every* location (peaks are damped by
+    the ``(1 - target)^beta`` penalty, which is 0 at exact peaks), and the
+    positive term indexes positive locations *with multiplicity* — two GT
+    centers sharing a cell contribute twice. ``pos_count`` carries that
+    multiplicity (0 at non-positive locations).
+
     Args:
-      logits: (..., ) raw heatmap logits.
-      targets: (...,) gaussian targets in [0, 1]; exactly 1.0 at positives.
-      pos_mask: (...,) bool — True at positive (center) locations.
+      logits: (...,) raw heatmap logits.
+      targets: (...,) gaussian targets in [0, 1]; exactly 1.0 at peaks.
+      pos_count: (...,) int — number of GT centers assigned to the location.
     Returns:
-      (pos_loss_sum, neg_loss_sum) — unnormalized sums, matching the
-      reference which divides by the cross-replica positive count outside
-      (centernet.py:255-261).
+      (pos_loss_sum, neg_loss_sum) — unnormalized; the caller divides by the
+      cross-replica positive count (centernet.py:255-261).
     """
     pred = jnp.clip(jax.nn.sigmoid(logits), sigmoid_clamp, 1 - sigmoid_clamp)
     neg_weights = jnp.power(1.0 - targets, beta)
@@ -51,8 +57,8 @@ def heatmap_focal_loss(
     if alpha >= 0:
         pos_loss = alpha * pos_loss
         neg_loss = (1.0 - alpha) * neg_loss
-    pos_loss_sum = -jnp.sum(jnp.where(pos_mask, pos_loss, 0.0))
-    neg_loss_sum = -jnp.sum(jnp.where(pos_mask, 0.0, neg_loss))
+    pos_loss_sum = -jnp.sum(pos_count.astype(pred.dtype) * pos_loss)
+    neg_loss_sum = -jnp.sum(neg_loss)
     return pos_loss_sum, neg_loss_sum
 
 

@@ -8,13 +8,16 @@ ragged keep-index list; on TPU we keep shapes static: inputs are padded
 is an ``(N,)`` boolean keep mask (same order), so downstream top-k stays
 shape-stable.
 
-Algorithm: exact greedy NMS via the standard sorted upper-triangular
-suppression recurrence, evaluated as a sequential scan over sorted boxes.
-``lax.fori_loop`` over N with a precomputed (N, N) IoU matrix — O(N²) IoU is
-one big MXU/VPU-friendly einsum-style block, and the scan itself is O(N)
-scalar work. For the proposal counts used here (N ≤ 2000) this is fast and
-matches the CUDA semantics exactly (including the reference's strictly-
-greater threshold comparison).
+Algorithm: exact greedy NMS via *tiled self-suppression fixpoint* — the
+canonical TPU formulation (same family as tf.image.non_max_suppression_
+padded). Boxes are sorted by score and processed in tiles of 256: within a
+tile, the triangular greedy recurrence ``keep[i] = alive[i] & !any_{j<i}
+(keep[j] & iou[j,i] > t)`` is solved by iterating it to a fixpoint (unique
+by induction on the triangular order, so the result is *exactly* greedy
+NMS); across tiles, kept boxes mask all later tiles in one matrix op. This
+replaces an O(N)-step sequential scan with ~N/256 unrolled tile steps of
+MXU/VPU-friendly (256 x N) IoU blocks plus a short data-dependent while
+loop (suppression chains are almost always < 4 deep).
 """
 from __future__ import annotations
 
@@ -24,31 +27,63 @@ from jax import Array
 
 from ..structures import boxes as box_ops
 
+_TILE = 256
+
 
 def nms_mask(boxes: Array, scores: Array, iou_threshold: float, valid: Array | None = None) -> Array:
-    """Greedy NMS. Returns a bool keep mask aligned with the input order.
+    """Exact greedy NMS. Returns a bool keep mask aligned with input order.
 
     Invalid rows are never kept and never suppress others.
     """
     n = boxes.shape[0]
+    if n == 0:
+        return jnp.zeros((0,), bool)
     if valid is None:
         valid = jnp.ones((n,), bool)
+    tile = min(_TILE, n)
+    n_pad = -(-n // tile) * tile
+    pad = n_pad - n
+    boxes_p = jnp.pad(boxes, ((0, pad), (0, 0)))
+    scores_p = jnp.pad(scores, (0, pad))
+    valid_p = jnp.pad(valid, (0, pad))
+
     # Sort by score descending; invalid rows sink to the end.
-    order = jnp.argsort(jnp.where(valid, -scores, jnp.inf))
-    sboxes = boxes[order]
-    svalid = valid[order]
-    iou = box_ops.pairwise_iou(sboxes, sboxes)
-    suppress_mat = (iou > iou_threshold) & svalid[:, None] & svalid[None, :]
+    order = jnp.argsort(jnp.where(valid_p, -scores_p, jnp.inf))
+    sboxes = boxes_p[order]
+    svalid = valid_p[order]
 
-    def body(i, keep):
-        # Box i survives iff no higher-scored *kept* box suppresses it.
-        suppressed = jnp.any(keep & suppress_mat[:, i] & (jnp.arange(n) < i))
-        return keep.at[i].set(svalid[i] & ~suppressed)
+    alive = svalid
+    kept = jnp.zeros((n_pad,), bool)
+    tri = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0) < jax.lax.broadcasted_iota(
+        jnp.int32, (tile, tile), 1
+    )  # [j, i]: j strictly above i in score order
 
-    keep_sorted = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
-    # Scatter back to original order.
-    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
-    return keep
+    for t in range(n_pad // tile):
+        sl = slice(t * tile, (t + 1) * tile)
+        tb = sboxes[sl]
+        ta = alive[sl]
+        over = (box_ops.pairwise_iou(tb, tb) > iou_threshold) & tri
+
+        def fix_body(state):
+            k, _ = state
+            k_new = ta & ~jnp.any(over & k[:, None], axis=0)
+            return k_new, jnp.any(k_new != k)
+
+        def fix_cond(state):
+            return state[1]
+
+        k0 = ta & ~jnp.any(over & ta[:, None], axis=0)
+        k_tile, _ = jax.lax.while_loop(fix_cond, fix_body, (k0, jnp.any(k0 != ta)))
+        kept = kept.at[sl].set(k_tile)
+        if (t + 1) * tile < n_pad:
+            rest = sboxes[(t + 1) * tile :]
+            cross = box_ops.pairwise_iou(tb, rest) > iou_threshold  # (tile, rest)
+            suppressed = jnp.any(cross & k_tile[:, None], axis=0)
+            alive = alive.at[(t + 1) * tile :].set(alive[(t + 1) * tile :] & ~suppressed)
+
+    # Scatter back to original order and drop padding.
+    keep = jnp.zeros((n_pad,), bool).at[order].set(kept)
+    return keep[:n]
 
 
 def batched_nms_mask(

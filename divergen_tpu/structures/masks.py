@@ -60,6 +60,33 @@ def crop_and_resize(masks: Array, boxes: Array, size: int) -> Array:
     return jax.vmap(one)(masks.astype(jnp.float32), boxes)
 
 
+def mask_target_in_box(
+    mask_crop: Array, src_box: Array, dst_box: Array, size: int
+) -> Array:
+    """Resample a box-frame mask crop onto another box's frame.
+
+    ``mask_crop`` (S, S) is a GT mask stored normalized to ``src_box`` (the
+    TPU-friendly replacement for full-image per-instance bitmasks — the
+    reference rasterizes full-size masks and calls ROIAlign-crop per
+    proposal, masks.py:208-230; storing (N, S, S) box-frame crops instead
+    bounds memory at any image size). Returns the (size, size) mask target
+    for ``dst_box`` (a proposal): each output point maps image-coords →
+    src-box-normalized coords → bilinear sample, zero outside the GT box.
+    """
+    s = mask_crop.shape[0]
+    sx1, sy1, sx2, sy2 = src_box[0], src_box[1], src_box[2], src_box[3]
+    dx1, dy1, dx2, dy2 = dst_box[0], dst_box[1], dst_box[2], dst_box[3]
+    sw = jnp.maximum(sx2 - sx1, 1e-6)
+    sh = jnp.maximum(sy2 - sy1, 1e-6)
+    # centers of the size x size bins of dst_box, in image coords
+    ys_img = dy1 + (jnp.arange(size, dtype=jnp.float32) + 0.5) * (dy2 - dy1) / size
+    xs_img = dx1 + (jnp.arange(size, dtype=jnp.float32) + 0.5) * (dx2 - dx1) / size
+    # map into mask_crop pixel coords
+    my = (ys_img - sy1) / sh * s - 0.5
+    mx = (xs_img - sx1) / sw * s - 0.5
+    return _bilinear_sample_2d(mask_crop.astype(jnp.float32), my, mx)
+
+
 def _bilinear_sample_2d(img: Array, ys: Array, xs: Array) -> Array:
     """Sample ``img[H, W]`` on the outer grid ``ys x xs`` with zero padding."""
     h, w = img.shape

@@ -1,0 +1,120 @@
+"""End-to-end model tests on random inputs — no weights, no data.
+
+Pattern: detectron2 ``tests/modeling/test_model_e2e.py:12-88`` (build model,
+random images, synthetic instances, assert loss shapes/finiteness; also the
+empty-ground-truth case).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from divergen_tpu.config import get_cfg
+from divergen_tpu.modeling.meta_arch.rcnn import build_model
+
+
+def small_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.CENTERNET.NUM_CLASSES = 8
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 8
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 64
+    cfg.MODEL.CENTERNET.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.CENTERNET.POST_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.CENTERNET.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.CENTERNET.POST_NMS_TOPK_TEST = 32
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.TEST.DETECTIONS_PER_IMAGE = 16
+    cfg.FP16 = False
+    return cfg
+
+
+def synth_gt(rng, b, n, num_classes, img=128, mask_s=28, n_valid=3):
+    xy = rng.rand(b, n, 2) * (img - 40)
+    wh = rng.rand(b, n, 2) * 30 + 8
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    return {
+        "boxes": jnp.array(boxes),
+        "classes": jnp.array(rng.randint(0, num_classes, (b, n)), jnp.int32),
+        "valid": jnp.array(np.broadcast_to(np.arange(n)[None] < n_valid, (b, n))),
+        "masks": jnp.array((rng.rand(b, n, mask_s, mask_s) > 0.4).astype(np.float32)),
+        "instance_source": jnp.zeros((b, n), jnp.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = small_cfg()
+    model = build_model(cfg)
+    rng = np.random.RandomState(1)
+    images = jnp.array(rng.rand(2, 128, 128, 3).astype(np.float32) * 255)
+    image_sizes = jnp.array([[128, 128], [100, 120]])
+    gt = synth_gt(rng, 2, 8, 8)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        images,
+        image_sizes,
+        gt=gt,
+        rng=jax.random.PRNGKey(1),
+        training=True,
+    )
+    return cfg, model, params, images, image_sizes, gt
+
+
+def test_train_losses_finite(model_and_params):
+    cfg, model, params, images, image_sizes, gt = model_and_params
+    losses = model.apply(
+        params, images, image_sizes, gt=gt, rng=jax.random.PRNGKey(2), training=True
+    )
+    expected = {
+        "loss_centernet_loc",
+        "loss_centernet_agn_pos",
+        "loss_centernet_agn_neg",
+        "loss_cls_stage0",
+        "loss_box_reg_stage0",
+        "loss_cls_stage1",
+        "loss_box_reg_stage1",
+        "loss_cls_stage2",
+        "loss_box_reg_stage2",
+        "loss_mask",
+    }
+    assert set(losses.keys()) == expected
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+
+
+def test_train_losses_empty_gt(model_and_params):
+    cfg, model, params, images, image_sizes, gt = model_and_params
+    gt_empty = dict(gt)
+    gt_empty["valid"] = jnp.zeros_like(gt["valid"])
+    losses = model.apply(
+        params, images, image_sizes, gt=gt_empty, rng=jax.random.PRNGKey(2), training=True
+    )
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f"{k} not finite with empty gt"
+
+
+def test_inference_shapes(model_and_params):
+    cfg, model, params, images, image_sizes, gt = model_and_params
+    dets = model.apply(params, images, image_sizes, training=False)
+    k = cfg.TEST.DETECTIONS_PER_IMAGE
+    assert dets["boxes"].shape == (2, k, 4)
+    assert dets["scores"].shape == (2, k)
+    assert dets["classes"].shape == (2, k)
+    assert dets["mask_logits"].shape[:2] == (2, k)
+    assert np.isfinite(np.asarray(dets["boxes"])).all()
+
+
+def test_grads_flow(model_and_params):
+    cfg, model, params, images, image_sizes, gt = model_and_params
+
+    def loss_fn(p):
+        losses = model.apply(
+            p, images, image_sizes, gt=gt, rng=jax.random.PRNGKey(2), training=True
+        )
+        return sum(jax.tree_util.tree_leaves(losses))
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
+    assert total > 0

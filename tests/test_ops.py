@@ -153,9 +153,23 @@ class TestLosses:
     def test_heatmap_focal_perfect_pred(self):
         logits = jnp.array([10.0, -10.0, -10.0])
         targets = jnp.array([1.0, 0.0, 0.0])
-        pos = jnp.array([True, False, False])
+        pos = jnp.array([1, 0, 0])
         p, n = heatmap_focal_loss(logits, targets, pos)
         assert float(p) < 1e-2 and float(n) < 1e-2
+
+    def test_heatmap_focal_matches_reference_formula(self, rng):
+        logits = jnp.array(rng.randn(16).astype(np.float32))
+        targets = jnp.array(rng.rand(16).astype(np.float32))
+        pos = jnp.array((rng.rand(16) > 0.7).astype(np.int32) * (1 + (rng.rand(16) > 0.9)))
+        alpha, beta, gamma, clamp = 0.25, 4.0, 2.0, 1e-4
+        pred = np.clip(1 / (1 + np.exp(-np.asarray(logits))), clamp, 1 - clamp)
+        t = np.asarray(targets)
+        pc = np.asarray(pos)
+        pos_want = -alpha * np.sum(pc * np.log(pred) * (1 - pred) ** gamma)
+        neg_want = -(1 - alpha) * np.sum(np.log(1 - pred) * pred**gamma * (1 - t) ** beta)
+        p, n = heatmap_focal_loss(logits, targets, pos, alpha, beta, gamma, clamp)
+        np.testing.assert_allclose(p, pos_want, rtol=1e-4)
+        np.testing.assert_allclose(n, neg_want, rtol=1e-4)
 
     def test_iou_loss_zero_at_match(self):
         t = jnp.array([[1.0, 2, 3, 4]])
