@@ -120,6 +120,14 @@ def top_scoring(
     pattern (centernet.py:727-739) with a static-shape top-k.
     """
     masked_scores = jnp.where(keep, scores, -jnp.inf)
+    n = masked_scores.shape[-1]
+    if n < k:
+        # fewer candidates than requested: pad the candidate set so the
+        # output keeps its static (k,) shape (small images / few levels)
+        pad = k - n
+        masked_scores = jnp.pad(masked_scores, (0, pad), constant_values=-jnp.inf)
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        extras = tuple(jnp.pad(e, ((0, pad),) + ((0, 0),) * (e.ndim - 1)) for e in extras)
     topv, topi = jax.lax.top_k(masked_scores, k)
     valid = topv > -jnp.inf
     out_boxes = boxes[topi]

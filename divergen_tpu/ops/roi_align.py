@@ -13,6 +13,8 @@ reference uses for its 7/14-px outputs), average-pooled.
 """
 from __future__ import annotations
 
+import math
+
 from typing import Dict, Sequence
 
 import jax
@@ -117,7 +119,9 @@ def multilevel_roi_align(
     shapes and no data-dependent reshuffling. The heads that follow dominate
     the FLOPs, so this is noise on the profile.
     """
-    min_level = int(jnp.log2(strides[0]))
+    # strides are static Python ints; use host math so the level index stays
+    # static under jit (jnp.log2 would stage a tracer post-omnistaging)
+    min_level = int(math.log2(strides[0]))
     levels = assign_boxes_to_levels(boxes, min_level, min_level + len(strides) - 1)
     per_level = jnp.stack(
         [
