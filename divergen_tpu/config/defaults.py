@@ -213,6 +213,7 @@ def get_cfg() -> ConfigNode:
     mk.POOLER_SAMPLING_RATIO = 0
     mk.POOLER_TYPE = "ROIAlignV2"
     mk.CLS_AGNOSTIC_MASK = True
+    mk.GT_SIDE = 28  # box-frame gt-mask crop side (TPU static-shape design)
     # RefineMask head (divergen refine_mask_head.py:79)
     mk.OUT_CHANNEL = 256
     mk.NUM_FCS = 2
@@ -254,6 +255,7 @@ def get_cfg() -> ConfigNode:
     i.TRAIN_SIZE = 640
     i.TEST_SIZE = 640
     i.SCALE_RANGE = (0.1, 2.0)
+    i.RANDOM_FLIP = "horizontal"
     i.TEST_INPUT_TYPE = "default"
     i.NOT_CLAMP_BOX = False
     # copy-paste surface (divergen/config.py:79-180)
@@ -261,6 +263,7 @@ def get_cfg() -> ConfigNode:
     i.COPY_PASTE_PROB = 1.0
     i.INST_POOL = True
     i.INST_POOL_PATH = ""
+    i.INST_POOL_ROOT = ""
     i.INST_POOL_SAMPLE_NUM = 2
     i.INST_POOL_SAMPLE_STRATEGY = "random"  # random|cas_random|cats_random|...
     i.COPY_PASTE_METHOD = "basic"  # basic|alpha|gaussian|possion (custom_cp_method.py:5)
@@ -318,6 +321,9 @@ def get_cfg() -> ConfigNode:
     dl.USE_TAR_DATASET = False
     dl.PREFETCH_FACTOR = 2
     dl.MAX_INSTANCES = 100  # static padded capacity per image
+    dl.MAX_PASTES = 8  # static paste slots per image (device compositor)
+    dl.PATCH_SIZE = 128  # canonical RGBA patch side fed to the compositor
+    dl.NUM_WORKERS = 4
     dl.PREFETCH_TO_DEVICE = 2
 
     # ---------------- SOLVER ----------------

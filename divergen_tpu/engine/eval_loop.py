@@ -1,0 +1,103 @@
+"""do_test: timed inference over the test sets → LVIS/COCO metrics.
+
+Counterpart of ``DiverGen/train_net.py:62-126`` (do_test: EMA-eval, per-set
+evaluator choice, print_csv_format) + ``divergen/evaluation/evaluator.py:
+106-216`` (inference_on_dataset with data/compute timing, warmup excluded).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import DatasetCatalog, MetadataCatalog
+from ..data.dataset_mapper import DatasetMapper
+from ..evaluation.lvis_evaluator import CustomCOCOEvaluator, LVISEvaluator
+from ..modeling.meta_arch.rcnn import build_model
+from .checkpoint import Checkpointer
+from .train_loop import TrainState
+
+logger = logging.getLogger(__name__)
+
+
+def build_evaluator(cfg, dataset_name: str):
+    etype = MetadataCatalog.get(dataset_name).evaluator_type
+    if etype == "lvis":
+        return LVISEvaluator(dataset_name)
+    if etype in ("coco", "coco_generalized"):
+        return CustomCOCOEvaluator(dataset_name)
+    raise NotImplementedError(etype)
+
+
+def inference_on_dataset(model, params, cfg, dataset_name: str, evaluator,
+                         batch_size: int = 8, max_images: Optional[int] = None) -> Dict:
+    dataset = DatasetCatalog.get(dataset_name)
+    if max_images:
+        dataset = dataset[:max_images]
+    mapper = DatasetMapper(cfg, is_train=False)
+    canvas = mapper.canvas
+
+    @jax.jit
+    def infer(params, images, sizes):
+        return model.apply(params, images, sizes, training=False)
+
+    evaluator.reset()
+    n = len(dataset)
+    t_data = t_comp = 0.0
+    rng = np.random.default_rng(0)
+    warmup = min(5, n)
+    start = time.perf_counter()
+    for ofs in range(0, n, batch_size):
+        recs = dataset[ofs : ofs + batch_size]
+        t0 = time.perf_counter()
+        samples = []
+        for r in recs:
+            s = mapper(r, rng)
+            s["orig_height"] = r.get("height")
+            s["orig_width"] = r.get("width")
+            samples.append(s)
+        pad = batch_size - len(samples)
+        images = np.stack([s["image"] for s in samples] + [samples[-1]["image"]] * pad)
+        sizes = np.stack([s["image_size"] for s in samples] + [samples[-1]["image_size"]] * pad)
+        t_data += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = infer(params, jnp.asarray(images), jnp.asarray(sizes))
+        out = jax.device_get(out)
+        if ofs >= warmup:
+            t_comp += time.perf_counter() - t0
+        evaluator.process(samples, out)
+    total = time.perf_counter() - start
+    logger.info(
+        "inference on %s: %d imgs, %.4f s/img total (data %.4f, compute %.4f)",
+        dataset_name, n, total / max(n, 1), t_data / max(n, 1), t_comp / max(n - warmup, 1),
+    )
+    return evaluator.evaluate()
+
+
+def do_test(cfg, model=None, state: Optional[TrainState] = None, resume: bool = True,
+            max_images: Optional[int] = None) -> Dict:
+    if model is None:
+        model = build_model(cfg)
+    if state is None:
+        ckpt = Checkpointer(cfg.OUTPUT_DIR)
+        step = ckpt.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {cfg.OUTPUT_DIR}")
+        raw = ckpt._mgr.restore(step)
+        params = raw.get("ema_params") or raw["params"]  # EMA-eval (train_net.py:63-64)
+    else:
+        params = state.ema_params if state.ema_params is not None else state.params
+    params = jax.tree.map(jnp.asarray, params)
+
+    results = {}
+    for name in cfg.DATASETS.TEST:
+        evaluator = build_evaluator(cfg, name)
+        results[name] = inference_on_dataset(
+            model, params, cfg, name, evaluator, max_images=max_images
+        )
+        logger.info("results[%s] = %s", name, results[name])
+    return results

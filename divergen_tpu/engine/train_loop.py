@@ -34,7 +34,13 @@ def create_train_state(params, optimizer: optax.GradientTransformation, ema: boo
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=optimizer.init(params),
-        ema_params=jax.tree.map(lambda x: x.astype(jnp.float32), params) if ema else None,
+        # copy=True: astype on an already-f32 leaf would alias the params
+        # buffer and break donation (same buffer donated twice)
+        ema_params=(
+            jax.tree.map(lambda x: jnp.array(x, jnp.float32, copy=True), params)
+            if ema
+            else None
+        ),
     )
 
 

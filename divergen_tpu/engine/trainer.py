@@ -1,0 +1,190 @@
+"""do_train / do_test: the training entry (replaces
+``DiverGen/train_net.py:62-304``).
+
+One fused XLA step: on-device copy-paste compositing (box-frame) → forward →
+backward → optax → EMA. The host loader only decodes and assembles patch
+stacks (data/loader.py); batches stream through a device-prefetch queue so
+the chip never waits on PIL/numpy work (the reference's throughput wall,
+SURVEY.md §3.1). DDP wrapping (train_net.py:357-362) is replaced by batch
+sharding on the mesh's data axis.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import DatasetCatalog, MetadataCatalog
+from ..data.copy_paste_mapper import CopyPasteMapper
+from ..data.dataset_mapper import DatasetMapper
+from ..data.loader import TrainLoader, device_prefetch
+from ..data.samplers import (
+    RepeatFactorTrainingSampler,
+    TrainingSampler,
+    repeat_factors_from_category_frequency,
+)
+from ..modeling.meta_arch.rcnn import build_model
+from ..ops.copy_paste import paste_instances_boxframe
+from ..parallel.mesh import batch_sharding, create_mesh, param_sharding_rules, shard_pytree
+from ..solver.build import build_optimizer, ema_update
+from .checkpoint import Checkpointer, PeriodicCheckpointer
+from .events import CommonMetricPrinter, EventStorage, JSONWriter
+from .train_loop import TrainState, create_train_state
+
+logger = logging.getLogger(__name__)
+
+
+def make_paste_train_step(model, optimizer, cfg):
+    """step(state, batch, rng) with in-graph compositing before the fwd/bwd."""
+    ema_decay = cfg.MODEL.MODEL_EMA
+    mode = cfg.INPUT.CP_METHOD
+    use_paste = cfg.INPUT.USE_COPY_PASTE
+
+    def composite(batch):
+        def one(s):
+            return paste_instances_boxframe(
+                s["image"], s["gt"]["masks"], s["gt"]["boxes"], s["gt"]["classes"],
+                s["gt"]["valid"], s["gt"]["instance_source"],
+                s["patches"], s["patch_boxes"], s["patch_classes"],
+                s["patch_valid"], s["patch_flip"], mode=mode,
+            )
+
+        out = jax.vmap(one)(batch)
+        gt = {
+            "boxes": out["boxes"],
+            "classes": out["classes"],
+            "valid": out["valid"],
+            "masks": out["masks"],
+            "instance_source": out["instance_source"],
+        }
+        return out["image"], gt
+
+    def loss_fn(params, images, image_sizes, gt, rng, fed_weight):
+        losses = model.apply(
+            params, images, image_sizes, gt=gt, rng=rng,
+            fed_weight=fed_weight, training=True,
+        )
+        total = sum(v.astype(jnp.float32) for v in losses.values())
+        return total, losses
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        if use_paste:
+            images, gt = composite(batch)
+        else:
+            images, gt = batch["image"], batch["gt"]
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, images, batch["image_size"], gt, rng, batch.get("fed_weight")
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = state.ema_params
+        if ema_params is not None:
+            ema_params = ema_update(ema_params, params, ema_decay)
+        metrics = {"total_loss": total, **{k: v.astype(jnp.float32) for k, v in losses.items()}}
+        return TrainState(state.step + 1, params, opt_state, ema_params), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def build_train_loader(cfg, mapper=None):
+    names = list(cfg.DATASETS.TRAIN)
+    dataset = []
+    for n in names:
+        dataset += DatasetCatalog.get(n)
+    if mapper is None:
+        base = DatasetMapper(cfg, is_train=True)
+        mapper = CopyPasteMapper(base, cfg) if cfg.INPUT.USE_COPY_PASTE else base
+        if isinstance(mapper, CopyPasteMapper):
+            mapper.set_dataset(dataset)
+    rank = jax.process_index()
+    world = jax.process_count()
+    if cfg.INPUT.USE_RFS or (cfg.DATALOADER.SAMPLER_TRAIN == "RepeatFactorTrainingSampler"):
+        rfs = repeat_factors_from_category_frequency(
+            dataset, cfg.DATALOADER.REPEAT_THRESHOLD
+        )
+        sampler = RepeatFactorTrainingSampler(rfs, seed=cfg.SEED, rank=rank, world_size=world)
+    else:
+        sampler = TrainingSampler(len(dataset), seed=cfg.SEED, rank=rank, world_size=world)
+    return TrainLoader(
+        dataset, mapper, sampler,
+        batch_size=cfg.SOLVER.IMS_PER_BATCH,
+        num_workers=cfg.DATALOADER.NUM_WORKERS,
+        seed=cfg.SEED,
+    )
+
+
+def _init_params(cfg, model, batch):
+    rng = jax.random.PRNGKey(cfg.SEED)
+    b = jax.tree.map(jnp.asarray, {k: v for k, v in batch.items() if k != "tfms"})
+    images = b["image"]
+    gt = b["gt"]
+    return model.init(rng, images, b["image_size"], gt=gt, rng=rng, training=True)
+
+
+def do_train(cfg, resume: bool = False, max_steps: Optional[int] = None) -> TrainState:
+    out_dir = cfg.OUTPUT_DIR
+    os.makedirs(out_dir, exist_ok=True)
+    model = build_model(cfg)
+    loader = build_train_loader(cfg)
+
+    mesh = create_mesh(cfg.PARALLEL.DATA_PARALLEL, cfg.PARALLEL.MODEL_PARALLEL)
+    batches = iter(loader)
+    first = next(batches)
+    params = _init_params(cfg, model, first)
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    logger.info("model parameters: %.2fM", n_params / 1e6)
+
+    optimizer = build_optimizer(cfg, params)
+    state = create_train_state(
+        shard_pytree(params, param_sharding_rules(params, mesh)),
+        optimizer,
+        ema=cfg.MODEL.MODEL_EMA > 0,
+    )
+    ckpt = Checkpointer(out_dir)
+    state_host, start_iter = ckpt.resume_or_load(jax.device_get(state), resume=resume)
+    if start_iter > 0:
+        state = jax.tree.map(jnp.asarray, state_host)
+    periodic = PeriodicCheckpointer(ckpt, cfg.SOLVER.CHECKPOINT_PERIOD, cfg.SOLVER.MAX_ITER)
+
+    step = make_paste_train_step(model, optimizer, cfg)
+    storage = EventStorage(start_iter)
+    writers = [CommonMetricPrinter(cfg.SOLVER.MAX_ITER), JSONWriter(os.path.join(out_dir, "metrics.json"))]
+    rng = jax.random.PRNGKey(cfg.SEED + 1)
+    bs = batch_sharding(mesh)
+
+    max_iter = cfg.SOLVER.MAX_ITER if max_steps is None else min(cfg.SOLVER.MAX_ITER, start_iter + max_steps)
+    data_iter = device_prefetch(
+        _chain(first, batches), size=cfg.DATALOADER.PREFETCH_TO_DEVICE
+    )
+    t_data = time.perf_counter()
+    with mesh:
+        for it in range(start_iter, max_iter):
+            batch = next(data_iter)
+            batch.pop("tfms", None)
+            batch = {k: v for k, v in batch.items() if k != "image_ids"}
+            storage.put_scalar("data_time", time.perf_counter() - t_data)
+            state, metrics = step(state, batch, rng)
+            if (it + 1) % 20 == 0 or it == start_iter:
+                host = jax.device_get(metrics)
+                if not np.isfinite(host["total_loss"]):
+                    raise FloatingPointError(f"non-finite loss at iter {it}: {host}")
+                storage.put_scalars(**{k: float(v) for k, v in host.items()})
+                for w in writers:
+                    w.write(storage)
+            periodic.step(it, state)
+            storage.step()
+            t_data = time.perf_counter()
+    loader.stop()
+    return state
+
+
+def _chain(first, rest):
+    yield first
+    yield from rest

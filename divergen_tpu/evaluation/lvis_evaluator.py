@@ -1,0 +1,194 @@
+"""LVIS / COCO evaluator: padded device detections → records → DetEval.
+
+Counterpart of detectron2 ``evaluation/lvis_evaluation.py`` +
+``divergen/evaluation/evaluator.py:106-216`` (timed inference loop) and
+``per_class_map.py``. Consumes the model's static-shape outputs
+(boxes/scores/classes/valid/mask_logits), back-projects boxes through the
+test transform (custom_transform.py:96-114 inverse_apply_box), pastes 28²
+mask logits into the original frame (detectron2 layers/mask_ops.py:74
+semantics: bilinear resize into the box + 0.5 threshold) and RLE-encodes.
+"""
+from __future__ import annotations
+
+import json
+import logging
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..data.catalog import DatasetCatalog, MetadataCatalog
+from ..utils.mask_codec import rle_encode
+from .coco_eval_np import DetEval
+
+logger = logging.getLogger(__name__)
+
+
+def paste_mask_np(mask: np.ndarray, box: np.ndarray, h: int, w: int) -> np.ndarray:
+    """28² probability map → full-frame bool mask (mask_ops.py:74 semantics)."""
+    import cv2
+
+    x1, y1, x2, y2 = box
+    x1i, y1i = int(np.floor(x1)), int(np.floor(y1))
+    x2i, y2i = int(np.ceil(x2)), int(np.ceil(y2))
+    x1i, y1i = max(x1i, 0), max(y1i, 0)
+    x2i, y2i = min(x2i, w), min(y2i, h)
+    out = np.zeros((h, w), bool)
+    if x2i <= x1i or y2i <= y1i:
+        return out
+    resized = cv2.resize(mask.astype(np.float32), (x2i - x1i, y2i - y1i))
+    out[y1i:y2i, x1i:x2i] = resized >= 0.5
+    return out
+
+
+class LVISEvaluator:
+    """reset() / process(inputs, outputs) / evaluate() (detectron2 API)."""
+
+    def __init__(self, dataset_name: str, tasks=("bbox", "segm"), max_dets: int = 300):
+        self.dataset_name = dataset_name
+        self.tasks = tasks
+        self.max_dets = max_dets
+        meta = MetadataCatalog.get(dataset_name)
+        with open(meta.json_file) as f:
+            data = json.load(f)
+        cats = sorted(data["categories"], key=lambda x: x["id"])
+        self.contid2catid = {i: c["id"] for i, c in enumerate(cats)}
+        self.freq_groups = {"r": set(), "c": set(), "f": set()}
+        for c in cats:
+            self.freq_groups.setdefault(c.get("frequency", "f"), set()).add(c["id"])
+        self._gt_data = data
+        self.reset()
+
+    def reset(self):
+        self._predictions: List[dict] = []
+
+    def process(self, inputs: List[dict], outputs: Dict[str, np.ndarray]) -> None:
+        """inputs: list of mapper sample dicts (with image_id, tfms,
+        original height/width); outputs: padded detection dict (B, ...)."""
+        for b, inp in enumerate(inputs):
+            valid = np.asarray(outputs["valid"][b])
+            boxes = np.asarray(outputs["boxes"][b])[valid]
+            scores = np.asarray(outputs["scores"][b])[valid]
+            classes = np.asarray(outputs["classes"][b])[valid]
+            masks = (
+                np.asarray(outputs["mask_logits"][b])[valid]
+                if "mask_logits" in outputs
+                else None
+            )
+            tfms = inp.get("tfms")
+            oh, ow = inp.get("orig_height"), inp.get("orig_width")
+            if tfms is not None:
+                boxes = tfms.inverse_apply_box(boxes)
+            if oh is not None:
+                boxes[:, [0, 2]] = np.clip(boxes[:, [0, 2]], 0, ow)
+                boxes[:, [1, 3]] = np.clip(boxes[:, [1, 3]], 0, oh)
+            for i in range(len(boxes)):
+                x1, y1, x2, y2 = boxes[i]
+                rec = {
+                    "image_id": int(inp["image_id"]),
+                    "category_id": self.contid2catid[int(classes[i])],
+                    "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
+                    "score": float(scores[i]),
+                }
+                if masks is not None and oh is not None:
+                    prob = 1.0 / (1.0 + np.exp(-masks[i]))
+                    rec["segmentation"] = rle_encode(
+                        paste_mask_np(prob, boxes[i], oh, ow)
+                    )
+                    rec["segmentation"]["counts"] = rec["segmentation"]["counts"].decode()
+                self._predictions.append(rec)
+
+    def evaluate(self) -> Dict[str, Dict[str, float]]:
+        data = self._gt_data
+        gt_records = []
+        for ann in data["annotations"]:
+            rec = {
+                "image_id": ann["image_id"],
+                "category_id": ann["category_id"],
+                "bbox": ann["bbox"],
+                "area": ann.get("area", ann["bbox"][2] * ann["bbox"][3]),
+                "iscrowd": ann.get("iscrowd", 0),
+            }
+            if "segmentation" in ann:
+                rec["segmentation"] = self._ann_rle(ann, data)
+            gt_records.append(rec)
+        img_infos = {
+            img["id"]: {
+                "neg_category_ids": img.get("neg_category_ids", []),
+                "pos_category_ids": img.get("pos_category_ids", []),
+            }
+            for img in data["images"]
+        }
+        cat_ids = [c["id"] for c in data["categories"]]
+        results = {}
+        for task in self.tasks:
+            dets = self._predictions
+            if task == "segm":
+                dets = [d for d in dets if "segmentation" in d]
+            ev = DetEval(
+                gt_records,
+                dets,
+                iou_type="bbox" if task == "bbox" else "segm",
+                lvis_mode=True,
+                img_infos=img_infos,
+                max_dets=self.max_dets,
+                category_ids=cat_ids,
+            )
+            ev.evaluate()
+            ev.accumulate()
+            results[task] = ev.summarize(self.freq_groups)
+            logger.info("%s %s: %s", self.dataset_name, task, results[task])
+        return results
+
+    @staticmethod
+    def _ann_rle(ann: dict, data: dict) -> dict:
+        from ..utils.mask_codec import polygons_to_bitmask, rle_encode
+
+        segm = ann["segmentation"]
+        if isinstance(segm, dict):
+            return segm
+        img = next(i for i in data["images"] if i["id"] == ann["image_id"])
+        m = polygons_to_bitmask(segm, img["height"], img["width"])
+        return rle_encode(m)
+
+
+class CustomCOCOEvaluator(LVISEvaluator):
+    """COCO-protocol variant (divergen/evaluation/custom_coco_eval.py:28):
+    no federated ignore rule, 100 dets/img."""
+
+    def __init__(self, dataset_name: str, tasks=("bbox", "segm"), max_dets: int = 100):
+        super().__init__(dataset_name, tasks, max_dets)
+
+    def evaluate(self):
+        # same flow but lvis_mode off
+        data = self._gt_data
+        gt_records = [
+            {
+                "image_id": a["image_id"],
+                "category_id": a["category_id"],
+                "bbox": a["bbox"],
+                "area": a.get("area", a["bbox"][2] * a["bbox"][3]),
+                "iscrowd": a.get("iscrowd", 0),
+                **(
+                    {"segmentation": self._ann_rle(a, data)}
+                    if "segmentation" in a
+                    else {}
+                ),
+            }
+            for a in data["annotations"]
+        ]
+        cat_ids = [c["id"] for c in data["categories"]]
+        results = {}
+        for task in self.tasks:
+            dets = self._predictions
+            if task == "segm":
+                dets = [d for d in dets if "segmentation" in d]
+            ev = DetEval(
+                gt_records, dets,
+                iou_type="bbox" if task == "bbox" else "segm",
+                lvis_mode=False, max_dets=self.max_dets, category_ids=cat_ids,
+            )
+            ev.evaluate()
+            ev.accumulate()
+            results[task] = ev.summarize()
+        return results

@@ -193,6 +193,138 @@ def paste_instances(
     }
 
 
+def _crop_binary(full: Array, box: Array, side: int) -> Array:
+    """Bilinear-sample a full-frame (H,W) float field on an SxS grid inside
+    ``box`` (zero outside the frame)."""
+    h, w = full.shape
+    x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+    ys = y1 + (jnp.arange(side, dtype=jnp.float32) + 0.5) * (y2 - y1) / side - 0.5
+    xs = x1 + (jnp.arange(side, dtype=jnp.float32) + 0.5) * (x2 - x1) / side - 0.5
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ly, lx = ys - y0, xs - x0
+    y0i, x0i = y0.astype(jnp.int32), x0.astype(jnp.int32)
+
+    def at(yi, xi):
+        v = full[jnp.clip(yi, 0, h - 1)[:, None], jnp.clip(xi, 0, w - 1)[None, :]]
+        ok = ((yi >= 0) & (yi < h))[:, None] & ((xi >= 0) & (xi < w))[None, :]
+        return jnp.where(ok, v, 0.0)
+
+    top = at(y0i, x0i) * (1 - lx)[None] + at(y0i, x0i + 1) * lx[None]
+    bot = at(y0i + 1, x0i) * (1 - lx)[None] + at(y0i + 1, x0i + 1) * lx[None]
+    return top * (1 - ly)[:, None] + bot * ly[:, None]
+
+
+def _boxframe_subbox(mask: Array, box: Array) -> Array:
+    """Tight bbox (image coords) of an SxS box-frame mask>0.5; zero if empty."""
+    s = mask.shape[0]
+    on = mask > 0.5
+    xs = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    ys = xs
+    big = jnp.float32(1e9)
+    col_any = jnp.any(on, axis=0)
+    row_any = jnp.any(on, axis=1)
+    u1 = jnp.min(jnp.where(col_any, xs, big))
+    u2 = jnp.max(jnp.where(col_any, xs, -big))
+    v1 = jnp.min(jnp.where(row_any, ys, big))
+    v2 = jnp.max(jnp.where(row_any, ys, -big))
+    half = 0.5 / s
+    x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+    bw, bh = x2 - x1, y2 - y1
+    out = jnp.stack(
+        [x1 + (u1 - half) * bw, y1 + (v1 - half) * bh, x1 + (u2 + half) * bw, y1 + (v2 + half) * bh]
+    )
+    return jnp.where(jnp.any(on), out, jnp.zeros(4))
+
+
+def paste_instances_boxframe(
+    image: Array,  # (H, W, 3)
+    gt_masks: Array,  # (N, S, S) float box-frame crops
+    boxes: Array,  # (N, 4)
+    classes: Array,
+    valid: Array,
+    source: Array,
+    patches: Array,  # (P, ps, ps, 4)
+    patch_boxes: Array,  # (P, 4)
+    patch_classes: Array,
+    patch_valid: Array,
+    patch_flip: Array | None = None,
+    mode: str = "basic",
+    bbox_occluded_thr: float = 10.0,
+    mask_occluded_thr: float = 300.0,
+) -> Dict[str, Array]:
+    """Copy-paste with **box-frame** instance masks — the memory-light form
+    the trainer uses (masks are O((N+P)·S²), never (N,H,W)). Same sequential
+    occlusion semantics as ``paste_instances``; dst masks/boxes are updated
+    by cropping the paste-union into each gt box frame; areas are estimated
+    as mean(mask)·box_area (exact up to the SxS raster)."""
+    h, w = image.shape[:2]
+    n, s = gt_masks.shape[0], gt_masks.shape[1]
+    p = patches.shape[0]
+    if patch_flip is None:
+        patch_flip = jnp.zeros((p,), bool)
+
+    rgbs, alphas = jax.vmap(lambda pc, tb, fl: rasterize_patch(pc, tb, (h, w), fl))(
+        patches, patch_boxes, patch_flip
+    )
+    bins = (alphas > MASK_THRESHOLD) & patch_valid[:, None, None]
+
+    def suffix_body(carry, b):
+        return carry | b, carry
+
+    _, occ_after_rev = jax.lax.scan(suffix_body, jnp.zeros((h, w), bool), bins[::-1])
+    occ_after = occ_after_rev[::-1]
+    union = jnp.any(bins, axis=0).astype(jnp.float32)
+
+    # dst masks: subtract the union cropped into each box frame
+    occ_crops = jax.vmap(lambda b: _crop_binary(union, b, s))(boxes)  # (N,S,S)
+    new_gt_masks = jnp.where(occ_crops > 0.5, 0.0, gt_masks)
+    # patch own masks in their own box frame
+    own = jax.vmap(
+        lambda bm, oa, b: _crop_binary(bm.astype(jnp.float32), b, s)
+        * (1.0 - (_crop_binary(oa.astype(jnp.float32), b, s) > 0.5))
+    )(bins, occ_after, patch_boxes)
+
+    all_masks = jnp.concatenate([new_gt_masks, own], axis=0)
+    all_boxes_in = jnp.concatenate([boxes, patch_boxes], axis=0)
+    new_boxes = jax.vmap(_boxframe_subbox)(all_masks, all_boxes_in)
+    # untouched dst instances keep their exact original box (avoids SxS
+    # raster-quantization drift against the 10px occlusion threshold)
+    touched = jnp.any(occ_crops > 0.5, axis=(1, 2))
+    new_boxes = new_boxes.at[:n].set(
+        jnp.where(touched[:, None], new_boxes[:n], boxes)
+    )
+
+    box_areas = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0
+    )
+    areas = jnp.mean(new_gt_masks > 0.5, axis=(1, 2)) * box_areas
+    bbox_ok = jnp.all(jnp.abs(new_boxes[:n] - boxes) <= bbox_occluded_thr, axis=-1)
+    dst_valid = valid & (bbox_ok | (areas > mask_occluded_thr))
+    patch_ok = patch_valid & jnp.any(own > 0.5, axis=(1, 2))
+
+    def blend_body(img, inputs):
+        rgb, alpha, bin_mask, pval = inputs
+        if mode == "alpha":
+            weight = jnp.where(pval, alpha, 0.0)
+        elif mode == "gaussian":
+            weight = _box_blur_5x5(bin_mask.astype(jnp.float32))
+        else:
+            weight = bin_mask.astype(jnp.float32)
+        return img * (1.0 - weight[..., None]) + rgb * weight[..., None], None
+
+    image_out, _ = jax.lax.scan(blend_body, image, (rgbs, alphas, bins, patch_valid))
+
+    return {
+        "image": image_out,
+        "masks": all_masks,
+        "boxes": new_boxes,
+        "classes": jnp.concatenate([classes, patch_classes]),
+        "valid": jnp.concatenate([dst_valid, patch_ok]),
+        "instance_source": jnp.concatenate([source, jnp.ones((p,), source.dtype)]),
+    }
+
+
 def paste_instances_batch(mode: str = "basic", **thresholds):
     """vmapped-over-batch compositor; jit once, reuse every step."""
 

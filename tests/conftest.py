@@ -20,6 +20,10 @@ if not os.environ.get("DIVERGEN_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: the e2e model tests cost minutes of XLA
+    # compile each; cache across pytest runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_pytest_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np
 import pytest
