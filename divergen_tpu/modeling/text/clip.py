@@ -73,7 +73,12 @@ class CLIPText(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens: Array) -> Array:  # (B, L) int32
+    def __call__(self, tokens: Array, return_sequence: bool = False,
+                 penultimate: bool = False):  # (B, L) int32
+        """Default: projected EOT embedding (B, embed_dim). With
+        ``return_sequence``: also the hidden-state sequence — final-LN output,
+        or the penultimate layer's raw states (``penultimate=True``, the SDXL
+        conditioning convention)."""
         b, l = tokens.shape
         emb = nn.Embed(self.vocab_size, self.width, dtype=self.dtype, name="token_embedding")(
             tokens
@@ -85,7 +90,10 @@ class CLIPText(nn.Module):
         )
         x = emb + pos[None, :l].astype(emb.dtype)
         mask = jnp.triu(jnp.full((l, l), -1e9, jnp.float32), k=1)[None, None]
+        hidden = None
         for i in range(self.layers):
+            if i == self.layers - 1:
+                hidden = x  # penultimate hidden states
             x = ResidualAttentionBlock(self.width, self.heads, self.dtype, name=f"resblock{i}")(
                 x, mask
             )
@@ -96,8 +104,10 @@ class CLIPText(nn.Module):
         )
         # pool at the EOT token = argmax token id (CLIP convention)
         eot = jnp.argmax(tokens, axis=-1)
-        pooled = x[jnp.arange(b), eot]
-        return pooled @ proj.astype(pooled.dtype)
+        pooled = x[jnp.arange(b), eot] @ proj.astype(x.dtype)
+        if return_sequence:
+            return pooled, (hidden if penultimate else x)
+        return pooled
 
 
 class CLIPVision(nn.Module):

@@ -1,0 +1,166 @@
+"""Per-category text→image generation CLI (stage L5).
+
+Counterpart of ``DiverGen/generation/txt2img_diffusers_stages_from_txt.py``
+(CLI surface :28-110; rank-sharded sample split :124-131; deterministic
+``{cat_id}_{count:07d}.png`` naming with offset/resume :240-267; seed =
+args.seed + rank :200). TPU redesign: instead of one prompt at a time
+through three torch pipelines with cpu-offload, all samples of a prompt
+batch run through ONE jitted scan-denoiser (pipeline.py), bf16, batched to
+fill the MXU; hosts shard samples (i % world == rank equivalent: contiguous
+per-rank sample ranges, identical filenames).
+
+Without --unet_ckpt the UNet runs with random weights — shape/throughput
+smoke mode (the checkpoint converters in utils/torch_weights load real
+SDXL weights).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from glob import glob
+from typing import List, Optional
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("txt2img")
+    p.add_argument("--prompt", type=str, default="a photo of a single object")
+    p.add_argument("--from_file", type=str, action="append")
+    p.add_argument("--outdir", type=str, default="output/txt2img-samples")
+    p.add_argument("--n_samples", type=int, default=1)
+    p.add_argument("--max_batch_size", type=int, default=4)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--dist", action="store_true", default=False)
+    p.add_argument("--ckpt_dir", type=str, default="")
+    p.add_argument("--unet_ckpt", type=str, default="")
+    p.add_argument("--stages", type=str, nargs="+", default=["XL"])
+    p.add_argument("--offset", type=int, default=0)
+    p.add_argument("--disable_overwrite", action="store_true", default=False)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--guidance", type=float, default=7.5)
+    p.add_argument("--tiny", action="store_true", help="tiny random model (smoke/test)")
+    return p
+
+
+def _prompt_files(from_file: Optional[List[str]]) -> List[str]:
+    if not from_file:
+        return []
+    if os.path.isdir(from_file[0]):
+        return sorted(glob(os.path.join(from_file[0], "*.txt")))
+    return list(from_file)
+
+
+def _build_pipeline(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .pipeline import SDXLPipeline
+    from .unet import UNetSDXL
+    from .vae import VAEDecoder
+
+    if args.tiny:
+        unet = UNetSDXL.tiny(dtype=jnp.bfloat16)
+        vae = VAEDecoder(channels=(32, 32), dtype=jnp.bfloat16)
+    else:
+        unet = UNetSDXL(dtype=jnp.bfloat16)
+        vae = VAEDecoder(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    h = max(args.height // 8, 8)
+    ctx_dim = unet.context_dim
+    lat = jnp.zeros((1, h, h, 4))
+    ctx = jnp.zeros((1, 77, ctx_dim))
+    pooled = jnp.zeros((1, 1280)) if not args.tiny else None
+    tids = jnp.zeros((1, 6)) if not args.tiny else None
+    if args.unet_ckpt:
+        from ...utils.torch_weights import load_sdxl_unet_params
+
+        unet_params = load_sdxl_unet_params(args.unet_ckpt, unet)
+    else:
+        unet_params = unet.init(rng, lat, jnp.zeros((1,)), ctx, pooled, tids)
+    vae_params = vae.init(rng, jnp.zeros((1, h, h, 4)))
+    return SDXLPipeline(
+        unet, unet_params, vae, vae_params, steps=args.steps, guidance_scale=args.guidance
+    ), ctx_dim
+
+
+def encode_prompts_random(prompts: List[str], ctx_dim: int, seed: int = 0):
+    """Deterministic pseudo-embeddings when no text-tower checkpoint is
+    given (prompt-hash seeded) — keeps the CLI runnable end to end."""
+    import jax.numpy as jnp
+
+    outs = []
+    for p in prompts:
+        g = np.random.default_rng(abs(hash(p)) % (2**31))
+        outs.append(g.standard_normal((77, ctx_dim), np.float32))
+    return jnp.asarray(np.stack(outs))
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    rank = jax.process_index() if args.dist else int(os.environ.get("RANK", 0))
+    world = jax.process_count() if args.dist else int(os.environ.get("WORLD_SIZE", 1))
+    per_rank = args.n_samples // world
+    assert per_rank * world == args.n_samples, "n_samples must divide by world size"
+
+    sample_dir = os.path.join(args.outdir, "samples", args.stages[0])
+    os.makedirs(sample_dir, exist_ok=True)
+
+    pipe, ctx_dim = _build_pipeline(args)
+    uncond = encode_prompts_random([""], ctx_dim)
+    pooled_dim = 1280
+    use_pooled = not args.tiny
+
+    files = _prompt_files(args.from_file)
+    jobs = []  # (category_id, prompt, prompt_idx)
+    if files:
+        for f in files:
+            cat = os.path.basename(f).split(".")[0]
+            with open(f) as fh:
+                lines = [l.strip() for l in fh.read().splitlines() if l.strip()]
+            for pi, prompt in enumerate(sorted(lines)):
+                jobs.append((cat, prompt, pi))
+    else:
+        jobs.append(("prompt", args.prompt, 0))
+
+    import cv2
+
+    n_done = 0
+    for cat, prompt, pi in jobs:
+        ctx = encode_prompts_random([prompt], ctx_dim)
+        for start in range(0, per_rank, args.max_batch_size):
+            bs = min(args.max_batch_size, per_rank - start)
+            counts = [
+                args.offset + pi * args.n_samples + rank * per_rank + start + j
+                for j in range(bs)
+            ]
+            names = [f"{cat}_{c:07d}.png" for c in counts]
+            paths = [os.path.join(sample_dir, n) for n in names]
+            if args.disable_overwrite and all(os.path.exists(p) for p in paths):
+                continue
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(args.seed + rank), pi * 100000 + start
+            )
+            ctx_b = jnp.tile(ctx, (bs, 1, 1))
+            unc_b = jnp.tile(uncond, (bs, 1, 1))
+            pooled = jnp.zeros((bs, pooled_dim)) if use_pooled else None
+            unc_pooled = jnp.zeros((bs, pooled_dim)) if use_pooled else None
+            imgs = pipe.generate(
+                rng, ctx_b, unc_b, pooled, unc_pooled,
+                height=args.height, width=args.width,
+            )
+            imgs = np.asarray(imgs).astype(np.uint8)
+            for img, path in zip(imgs, paths):
+                cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+                n_done += 1
+    print(f"done: {n_done} images → {sample_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

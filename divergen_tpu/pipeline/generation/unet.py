@@ -1,0 +1,232 @@
+"""SDXL-architecture diffusion UNet, flax NHWC.
+
+The generation stage's denoiser (BASELINE.json: "SDXL generation stage
+becomes a pmapped denoising loop with Pallas flash-attention/conv UNet
+kernels"; reference drives DeepFloyd-IF via diffusers,
+``DiverGen/generation/txt2img_diffusers_stages_from_txt.py:136-198`` — same
+UNet+text-encoder+scheduler structure). Architecture facts follow the
+public SDXL-base config: blocks (320, 640, 1280); down = [ResOnly,
+CrossAttn(depth 2), CrossAttn(depth 10)]; mid CrossAttn(depth 10); context
+dim 2048; "text_time" added conditioning (pooled 1280 + 6 fourier time-ids
+→ 2816 → 1280). Everything is static-shape; attention runs through the
+Pallas flash kernel on TPU (XLA einsum fallback elsewhere).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+def timestep_embedding(t: Array, dim: int, max_period: float = 10000.0) -> Array:
+    """Sinusoidal embedding, (B,) → (B, dim) (diffusers get_timestep_embedding
+    semantics: half sin / half cos, flip_sin_to_cos=True for SDXL)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class GroupNorm32(nn.Module):
+    groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        g = math.gcd(self.groups, x.shape[-1])  # tiny test configs <32 ch
+        return nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=self.dtype)(x)
+
+
+class ResBlock(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, emb: Array) -> Array:
+        h = nn.silu(GroupNorm32(dtype=self.dtype, name="norm1")(x))
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        e = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(emb))
+        h = h + e[:, None, None, :]
+        h = nn.silu(GroupNorm32(dtype=self.dtype, name="norm2")(h))
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+def _attention(q: Array, k: Array, v: Array, heads: int) -> Array:
+    """(B, Nq, C) x (B, Nk, C) multi-head attention; flash kernel on TPU."""
+    b, nq, c = q.shape
+    nk = k.shape[1]
+    d = c // heads
+    q = q.reshape(b, nq, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, nq, d)
+    k = k.reshape(b, nk, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, nk, d)
+    v = v.reshape(b, nk, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, nk, d)
+    from ...ops.pallas.flash_attention import flash_attention
+
+    out = flash_attention(q, k, v)  # (B*H, Nq, D); pallas on TPU, XLA ref off
+    return out.reshape(b, heads, nq, d).transpose(0, 2, 1, 3).reshape(b, nq, c)
+
+
+class TransformerBlock(nn.Module):
+    """self-attn → cross-attn → GEGLU FF (diffusers BasicTransformerBlock)."""
+
+    channels: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        c = self.channels
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn1_q")(y)
+        k = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn1_k")(y)
+        v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn1_v")(y)
+        x = x + nn.Dense(c, dtype=self.dtype, name="attn1_out")(_attention(q, k, v, self.heads))
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn2_q")(y)
+        k = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn2_k")(context)
+        v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn2_v")(context)
+        x = x + nn.Dense(c, dtype=self.dtype, name="attn2_out")(_attention(q, k, v, self.heads))
+        y = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        g = nn.Dense(8 * c, dtype=self.dtype, name="ff_geglu")(y)
+        a, b = jnp.split(g, 2, axis=-1)
+        return x + nn.Dense(c, dtype=self.dtype, name="ff_out")(a * nn.gelu(b))
+
+
+class SpatialTransformer(nn.Module):
+    channels: int
+    heads: int
+    depth: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        b, h, w, c = x.shape
+        res = x
+        x = GroupNorm32(dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, self.channels)
+        for i in range(self.depth):
+            x = TransformerBlock(self.channels, self.heads, self.dtype, name=f"block{i}")(
+                x, context
+            )
+        x = x.reshape(b, h, w, self.channels)
+        x = nn.Dense(self.channels, dtype=self.dtype, name="proj_out")(x)
+        return x + res
+
+
+class Downsample(nn.Module):
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class UNetSDXL(nn.Module):
+    """SDXL-base UNet. Inputs NHWC latents (B, H/8, W/8, 4)."""
+
+    in_channels: int = 4
+    out_channels: int = 4
+    block_channels: Tuple[int, ...] = (320, 640, 1280)
+    layers_per_block: int = 2
+    transformer_depths: Tuple[int, ...] = (0, 2, 10)  # per level
+    context_dim: int = 2048
+    head_dim: int = 64
+    addition_time_embed_dim: int = 256
+    pooled_proj_dim: int = 2816  # 1280 pooled + 6*256 time ids
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        latents: Array,  # (B, h, w, 4)
+        timesteps: Array,  # (B,)
+        context: Array,  # (B, L, context_dim) text hidden states
+        pooled_text: Optional[Array] = None,  # (B, 1280)
+        time_ids: Optional[Array] = None,  # (B, 6)
+    ) -> Array:
+        ch0 = self.block_channels[0]
+        temb_dim = 4 * ch0  # 1280
+        t_emb = timestep_embedding(timesteps, ch0)
+        emb = nn.Dense(temb_dim, dtype=self.dtype, name="time_embed_1")(t_emb.astype(self.dtype))
+        emb = nn.Dense(temb_dim, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
+
+        if pooled_text is not None and time_ids is not None:
+            ids_emb = timestep_embedding(time_ids.reshape(-1), self.addition_time_embed_dim)
+            ids_emb = ids_emb.reshape(latents.shape[0], -1)
+            add = jnp.concatenate([pooled_text, ids_emb.astype(pooled_text.dtype)], axis=-1)
+            add = nn.Dense(temb_dim, dtype=self.dtype, name="add_embed_1")(add.astype(self.dtype))
+            add = nn.Dense(temb_dim, dtype=self.dtype, name="add_embed_2")(nn.silu(add))
+            emb = emb + add
+
+        context = context.astype(self.dtype)
+        x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(
+            latents.astype(self.dtype)
+        )
+        skips = [x]
+        # down
+        for lvl, ch in enumerate(self.block_channels):
+            for i in range(self.layers_per_block):
+                x = ResBlock(ch, self.dtype, name=f"down{lvl}_res{i}")(x, emb)
+                if self.transformer_depths[lvl]:
+                    x = SpatialTransformer(
+                        ch, ch // self.head_dim, self.transformer_depths[lvl],
+                        self.dtype, name=f"down{lvl}_attn{i}",
+                    )(x, context)
+                skips.append(x)
+            if lvl < len(self.block_channels) - 1:
+                x = Downsample(ch, self.dtype, name=f"down{lvl}_ds")(x)
+                skips.append(x)
+        # mid
+        ch = self.block_channels[-1]
+        x = ResBlock(ch, self.dtype, name="mid_res0")(x, emb)
+        x = SpatialTransformer(
+            ch, ch // self.head_dim, self.transformer_depths[-1], self.dtype, name="mid_attn"
+        )(x, context)
+        x = ResBlock(ch, self.dtype, name="mid_res1")(x, emb)
+        # up
+        for lvl in reversed(range(len(self.block_channels))):
+            ch = self.block_channels[lvl]
+            for i in range(self.layers_per_block + 1):
+                x = jnp.concatenate([x, skips.pop()], axis=-1)
+                x = ResBlock(ch, self.dtype, name=f"up{lvl}_res{i}")(x, emb)
+                if self.transformer_depths[lvl]:
+                    x = SpatialTransformer(
+                        ch, ch // self.head_dim, self.transformer_depths[lvl],
+                        self.dtype, name=f"up{lvl}_attn{i}",
+                    )(x, context)
+            if lvl > 0:
+                x = Upsample(ch, self.dtype, name=f"up{lvl}_us")(x)
+        x = nn.silu(GroupNorm32(dtype=self.dtype, name="norm_out")(x))
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(x)
+        return x
+
+    @classmethod
+    def tiny(cls, **kw) -> "UNetSDXL":
+        """Small config for tests."""
+        return cls(
+            block_channels=(32, 64),
+            transformer_depths=(0, 1),
+            context_dim=64,
+            head_dim=16,
+            layers_per_block=1,
+            **kw,
+        )

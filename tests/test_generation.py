@@ -1,0 +1,112 @@
+"""Generation stage tests: UNet shapes/grads, scheduler math, pipeline scan,
+txt2img CLI artifact naming/resume (tiny model)."""
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from divergen_tpu.pipeline.generation.scheduler import (
+    ddim_step, ddim_timesteps, euler_sigmas, euler_step, make_scheduler,
+)
+from divergen_tpu.pipeline.generation.unet import UNetSDXL, timestep_embedding
+from divergen_tpu.pipeline.generation.vae import VAEDecoder, VAEEncoder
+
+
+def test_timestep_embedding_shape():
+    e = timestep_embedding(jnp.array([0.0, 10.0]), 64)
+    assert e.shape == (2, 64)
+    assert np.isfinite(np.asarray(e)).all()
+
+
+def test_unet_tiny_forward():
+    unet = UNetSDXL.tiny()
+    lat = jnp.zeros((2, 16, 16, 4))
+    t = jnp.array([10.0, 500.0])
+    ctx = jnp.zeros((2, 8, 64))
+    params = unet.init(jax.random.PRNGKey(0), lat, t, ctx)
+    out = jax.jit(lambda p: unet.apply(p, lat, t, ctx))(params)
+    assert out.shape == (2, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_sdxl_conditioning_path():
+    unet = UNetSDXL(
+        block_channels=(32, 64), transformer_depths=(0, 1), context_dim=64,
+        head_dim=16, layers_per_block=1,
+    )
+    lat = jnp.zeros((1, 16, 16, 4))
+    ctx = jnp.zeros((1, 8, 64))
+    pooled = jnp.zeros((1, 1280))
+    tids = jnp.zeros((1, 6))
+    params = unet.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,)), ctx, pooled, tids)
+    out = unet.apply(params, lat, jnp.zeros((1,)), ctx, pooled, tids)
+    assert out.shape == (1, 16, 16, 4)
+
+
+def test_euler_scheduler_monotone():
+    cfg = make_scheduler("scaled_linear")
+    ts, sigmas = euler_sigmas(cfg, 10)
+    assert len(ts) == 10 and len(sigmas) == 11
+    assert sigmas[0] > sigmas[5] > sigmas[-1] == 0.0
+    # a perfect eps estimate recovers x0 at the final step
+    x0 = jnp.ones((1, 4, 4, 1))
+    noise = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    lat = x0 + sigmas[0] * noise
+    for i in range(10):
+        lat = euler_step(lat, noise, jnp.float32(sigmas[i]), jnp.float32(sigmas[i + 1]))
+    np.testing.assert_allclose(np.asarray(lat), np.asarray(x0), atol=1e-3)
+
+
+def test_ddim_perfect_eps_recovers_x0():
+    cfg = make_scheduler("cosine")
+    ts = ddim_timesteps(cfg, 10)
+    x0 = jnp.full((1, 4, 4, 1), 0.5)
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    ac = jnp.asarray(cfg.alphas_cumprod, jnp.float32)
+    lat = jnp.sqrt(ac[ts[0]]) * x0 + jnp.sqrt(1 - ac[ts[0]]) * noise
+    for i, t in enumerate(ts):
+        t_prev = ts[i + 1] if i + 1 < len(ts) else -1
+        # perfect eps at each t
+        a_t = ac[t]
+        eps = (lat - jnp.sqrt(a_t) * x0) / jnp.sqrt(1 - a_t)
+        lat = ddim_step(cfg, lat, eps, jnp.int32(t), jnp.int32(t_prev))
+    np.testing.assert_allclose(np.asarray(lat), np.asarray(x0), atol=1e-4)
+
+
+def test_vae_roundtrip_shapes():
+    enc = VAEEncoder(channels=(16, 32))
+    dec = VAEDecoder(channels=(16, 32))
+    img = jnp.zeros((1, 32, 32, 3))
+    pe = enc.init(jax.random.PRNGKey(0), img)
+    lat = enc.apply(pe, img)
+    assert lat.shape == (1, 16, 16, 4)
+    pd = dec.init(jax.random.PRNGKey(0), lat)
+    out = dec.apply(pd, lat)
+    assert out.shape == (1, 32, 32, 3)
+
+
+@pytest.mark.slow
+def test_txt2img_cli_naming_and_resume(tmp_path):
+    prompt_dir = tmp_path / "prompts"
+    prompt_dir.mkdir()
+    (prompt_dir / "37.txt").write_text("a photo of a single widget\n")
+    out = tmp_path / "out"
+    args = [
+        "--from_file", str(prompt_dir), "--outdir", str(out),
+        "--n_samples", "2", "--max_batch_size", "2", "--tiny",
+        "--height", "64", "--width", "64", "--steps", "2", "--offset", "5",
+    ]
+    from divergen_tpu.pipeline.generation.txt2img import main
+
+    assert main(args) == 0
+    files = sorted(os.listdir(out / "samples" / "XL"))
+    assert files == ["37_0000005.png", "37_0000006.png"]
+    # resume: nothing regenerated
+    mtimes = {f: os.path.getmtime(out / "samples" / "XL" / f) for f in files}
+    assert main(args + ["--disable_overwrite"]) == 0
+    for f in files:
+        assert os.path.getmtime(out / "samples" / "XL" / f) == mtimes[f]
