@@ -1,0 +1,6 @@
+#!/usr/bin/env python
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from divergen_tpu.pipeline.filteration.cli import extract_features
+if __name__ == "__main__":
+    raise SystemExit(extract_features())

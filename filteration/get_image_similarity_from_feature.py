@@ -1,0 +1,6 @@
+#!/usr/bin/env python
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from divergen_tpu.pipeline.filteration.cli import compute_similarity
+if __name__ == "__main__":
+    raise SystemExit(compute_similarity())

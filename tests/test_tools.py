@@ -1,0 +1,61 @@
+"""tools/ CLI tests: prompt generator, pool merger, classifier truncation."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.generate_prompt import main as gen_prompt
+from tools.merge_inst_pool_json import main as merge_pools
+from tools.convert_imgnet_model_to_lvis import truncate_tree
+
+
+def test_generate_prompt(tmp_path):
+    cats = [
+        {"id": 1, "name": "aerosol_can", "def": "a dispenser that forces a liquid out"},
+        {"id": 2, "name": "air_conditioner", "def": "a machine"},
+    ]
+    (tmp_path / "cats.json").write_text(json.dumps(cats))
+    assert gen_prompt(["--in_json_path", str(tmp_path / "cats.json"),
+                       "--out_txt_dir", str(tmp_path / "prompts")]) == 0
+    txt = (tmp_path / "prompts" / "1.txt").read_text()
+    assert txt == "a photo of a single aerosol can, a dispenser that forces a liquid out, in a white background\n"
+
+
+def test_merge_pools(tmp_path):
+    (tmp_path / "a.json").write_text(json.dumps({"1": ["/old/x.png"], "2": ["/old/y.png"]}))
+    (tmp_path / "b.json").write_text(json.dumps({"1": ["/p/z.png"]}))
+    out = tmp_path / "merged.json"
+    assert merge_pools([
+        "--inst_pool_path", str(tmp_path / "a.json"), str(tmp_path / "b.json"),
+        "--out_inst_pool_path", str(out),
+        "--enable_replace", "--before_prefix", "/old", "/p",
+        "--after_prefix", "/new", "/q",
+    ]) == 0
+    merged = json.load(open(out))
+    assert merged["1"] == ["/new/x.png", "/q/z.png"]
+    assert merged["2"] == ["/new/y.png"]
+
+
+def test_truncate_tree():
+    tree = {
+        "roi_heads": {
+            "box_predictor0": {
+                "cls_score": {
+                    "kernel": np.arange(8 * 6, dtype=np.float32).reshape(8, 6),
+                    "bias": np.arange(6, dtype=np.float32),
+                }
+            },
+            "mask_head": {"kernel": np.ones((4, 6), np.float32)},
+        }
+    }
+    out = truncate_tree(tree, n_in=5, n_out=3)
+    k = out["roi_heads"]["box_predictor0"]["cls_score"]["kernel"]
+    b = out["roi_heads"]["box_predictor0"]["cls_score"]["bias"]
+    assert k.shape == (8, 4) and b.shape == (4,)
+    np.testing.assert_array_equal(b, [0, 1, 2, 5])  # first 3 classes + bg
+    # unrelated heads untouched
+    assert out["roi_heads"]["mask_head"]["kernel"].shape == (4, 6)
