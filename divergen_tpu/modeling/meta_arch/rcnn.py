@@ -92,8 +92,22 @@ class CustomRCNN(nn.Module):
         fed_weight: Optional[Array] = None,
         training: bool = True,
         axis_name: Optional[str] = None,
+        gt_as_proposals: bool = False,
     ):
         features = self._features(images)
+        if gt_as_proposals:
+            # BSGAL probe path: GT boxes as the only proposals
+            # (only_gt_proposals, BSGAL detic_roi_heads.py:292-362) — skips
+            # the proposal generator entirely; ROI losses only.
+            assert training and gt is not None and rng is not None
+            proposals = {
+                "boxes": gt["boxes"],
+                "scores": jnp.ones(gt["boxes"].shape[:2], jnp.float32),
+                "valid": gt["valid"],
+            }
+            return self.roi_heads.losses(
+                rng, features, proposals, gt, fed_weight=fed_weight, axis_name=axis_name
+            )
         cn_feats = [features[f] for f in self.centernet_cfg.in_features]
         agn_hms, bbox_regs = self.centernet_head(cn_feats)
         feature_shapes = tuple((f.shape[1], f.shape[2]) for f in cn_feats)

@@ -72,6 +72,7 @@ class ROIHeadsConfig:
     divergen_mask_loss: bool = True  # True → mask head also trains on pastes
     norm_temp: float = 50.0
     use_zeroshot_cls: bool = False
+    split_paste_loss: bool = False  # BSGAL per-source CE keys
 
     @staticmethod
     def from_cfg(cfg) -> "ROIHeadsConfig":
@@ -98,6 +99,7 @@ class ROIHeadsConfig:
             cls_agnostic_bbox_reg=b.CLS_AGNOSTIC_BBOX_REG,
             smooth_l1_beta=b.SMOOTH_L1_BETA,
             box_reg_loss_type=b.BBOX_REG_LOSS_TYPE,
+            split_paste_loss=cfg.MODEL.ACTIVE.ENABLED,
             use_sigmoid_ce=b.USE_SIGMOID_CE,
             use_fed_loss=b.USE_FED_LOSS,
             fed_loss_num_cat=b.FED_LOSS_NUM_CAT,
@@ -601,6 +603,16 @@ def _fast_rcnn_losses(
     bce = bce * flat_valid[:, None]
     loss_cls = jnp.sum(bce) / n_valid
 
+    extra: Dict[str, Array] = {}
+    if c.split_paste_loss and instance_source is not None:
+        # BSGAL per-source CE split (bsgal detic_fast_rcnn.py:431-469):
+        # same per-row CE, partitioned by whether the row matched a pasted
+        # instance; shared normalizer so the parts sum to loss_cls on fg.
+        is_paste = (instance_source.reshape(-1) > 0) & flat_valid
+        row_ce = jnp.sum(bce, axis=-1)
+        extra["loss_paste_ins"] = jnp.sum(jnp.where(is_paste, row_ce, 0.0)) / n_valid
+        extra["loss_nopaste_ins"] = jnp.sum(jnp.where(~is_paste, row_ce, 0.0)) / n_valid
+
     # box regression on fg rows, class-agnostic (box_reg_loss :271-305)
     fg = (flat_classes >= 0) & (flat_classes < num_classes) & flat_valid
     if instance_source is not None and not c.divergen_box_loss:
@@ -619,7 +631,7 @@ def _fast_rcnn_losses(
         reg = giou_loss_xyxy(pred_boxes, flat_gb)
         denom = jnp.maximum(jnp.sum(fg) * 1.0, 1.0)
     loss_box = jnp.sum(jnp.where(fg, reg, 0.0)) / denom
-    return {"loss_cls": loss_cls, "loss_box_reg": loss_box}
+    return {"loss_cls": loss_cls, "loss_box_reg": loss_box, **extra}
 
 
 @jax.custom_vjp
