@@ -70,6 +70,8 @@ def get_cfg() -> ConfigNode:
     m.RESNETS.NORM = "FrozenBN"
     m.RESNETS.STRIDE_IN_1X1 = True
 
+    m.CONVNEXT_SIZE = "tiny"  # convnext backbone size (divergen convnext.py)
+    m.VIT_SIZE = "B"  # vitdet backbone size (divergen vit.py:236-486)
     m.SWIN = ConfigNode()
     m.SWIN.SIZE = "T"  # T / S / B / L (divergen swintransformer.py:716)
     m.SWIN.USE_CHECKPOINT = False

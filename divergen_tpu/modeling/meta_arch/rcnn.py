@@ -61,14 +61,37 @@ class CustomRCNN(nn.Module):
             body = SwinTransformer.from_size(
                 self.swin_size, dtype=self.compute_dtype, name="bottom_up"
             )
+        elif self.backbone_name == "convnext":
+            from ..backbone.convnext import ConvNeXt
+
+            body = ConvNeXt.from_size(self.swin_size.lower() if self.swin_size else "tiny",
+                                      dtype=self.compute_dtype, name="bottom_up")
+        elif self.backbone_name == "vitdet":
+            from ..backbone.vit import ViT, ViTDet
+
+            vit_sizes = {
+                "B": dict(dim=768, layers=12, heads=12, global_layers=(2, 5, 8, 11)),
+                "L": dict(dim=1024, layers=24, heads=16, global_layers=(5, 11, 17, 23)),
+                "T": dict(dim=192, layers=4, heads=3, global_layers=(1, 3), window=4),
+            }
+            body = ViTDet(
+                vit=ViT(dtype=self.compute_dtype, **vit_sizes[self.swin_size or "B"]),
+                out_channels=self.fpn_out_channels,
+                name="bottom_up",
+            )
         else:
             raise ValueError(f"unknown backbone {self.backbone_name}")
         self.body = body
-        self.fpn = FPN(
-            in_features=self.fpn_in_features,
-            out_channels=self.fpn_out_channels,
-            dtype=self.compute_dtype,
-            name="fpn",
+        # ViTDet's SimpleFeaturePyramid already emits p2..p7 — no lateral FPN
+        self.fpn = (
+            None
+            if self.backbone_name == "vitdet"
+            else FPN(
+                in_features=self.fpn_in_features,
+                out_channels=self.fpn_out_channels,
+                dtype=self.compute_dtype,
+                name="fpn",
+            )
         )
         self.centernet_head = CenterNetHead(
             self.centernet_cfg, dtype=self.compute_dtype, name="centernet_head"
@@ -81,6 +104,8 @@ class CustomRCNN(nn.Module):
         x = (images - mean) / std
         x = x.astype(self.compute_dtype)
         feats = self.body(x)
+        if self.fpn is None:  # vitdet path: body already emits the pyramid
+            return feats
         return self.fpn(feats)
 
     def __call__(
@@ -169,6 +194,14 @@ def build_model(cfg) -> CustomRCNN:
         backbone = "swin"
         fpn_in = ("s3", "s4", "s5")
         swin_size = cfg.MODEL.SWIN.SIZE
+    elif "convnext" in name.lower():
+        backbone = "convnext"
+        fpn_in = ("c3", "c4", "c5")
+        swin_size = cfg.MODEL.get("CONVNEXT_SIZE", "tiny")
+    elif "vit" in name.lower():
+        backbone = "vitdet"
+        fpn_in = ("p3", "p4", "p5")
+        swin_size = cfg.MODEL.get("VIT_SIZE", "B")
     else:
         backbone = f"resnet{cfg.MODEL.RESNETS.DEPTH}"
         fpn_in = ("res3", "res4", "res5")

@@ -25,93 +25,13 @@ import numpy as np
 from jax import Array
 
 # ---------------- image encoder (ViTDet) ----------------
-
-
-def _rel_pos_bias(q_hw: int, k_hw: int, rel_pos: Array) -> Array:
-    """Decomposed 1D relative position table lookup, (q, k) bias."""
-    coords_q = jnp.arange(q_hw)[:, None]
-    coords_k = jnp.arange(k_hw)[None, :]
-    rel = coords_q - coords_k + (k_hw - 1)
-    return rel_pos[rel]  # (q, k, C)
-
-
-class ViTAttention(nn.Module):
-    dim: int
-    heads: int
-    use_rel_pos: bool = True
-    input_hw: Tuple[int, int] = (14, 14)
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: Array) -> Array:  # (B, H, W, C)
-        b, h, w, c = x.shape
-        d = self.dim // self.heads
-        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, h * w, 3, self.heads, d)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * d**-0.5, k, preferred_element_type=jnp.float32)
-        if self.use_rel_pos:
-            rel_h = self.param(
-                "rel_pos_h", nn.initializers.zeros, (2 * h - 1, d)
-            )
-            rel_w = self.param(
-                "rel_pos_w", nn.initializers.zeros, (2 * w - 1, d)
-            )
-            rh = _rel_pos_bias(h, h, rel_h)  # (h, h, d)
-            rw = _rel_pos_bias(w, w, rel_w)
-            qr = q.reshape(b, h, w, self.heads, d)
-            bias_h = jnp.einsum("byxhd,yud->bhyxu", qr, rh)
-            bias_w = jnp.einsum("byxhd,xvd->bhyxv", qr, rw)
-            bias = bias_h[..., :, None] + bias_w[..., None, :]  # (b,hd,y,x,u,v)
-            attn = attn + bias.reshape(b, self.heads, h * w, h * w).astype(attn.dtype)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v.astype(self.dtype))
-        out = out.reshape(b, h, w, c)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
-
-
-def window_partition(x: Array, ws: int):
-    b, h, w, c = x.shape
-    ph, pw = (ws - h % ws) % ws, (ws - w % ws) % ws
-    if ph or pw:
-        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
-    hp, wp = h + ph, w + pw
-    x = x.reshape(b, hp // ws, ws, wp // ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(-1, ws, ws, c), (hp, wp)
-
-
-def window_unpartition(x: Array, ws: int, hw_pad: Tuple[int, int], hw: Tuple[int, int]):
-    hp, wp = hw_pad
-    h, w = hw
-    b = x.shape[0] // ((hp // ws) * (wp // ws))
-    x = x.reshape(b, hp // ws, wp // ws, ws, ws, -1).transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(b, hp, wp, -1)[:, :h, :w]
-
-
-class ViTBlock(nn.Module):
-    dim: int
-    heads: int
-    window: int = 0  # 0 = global
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
-        b, h, w, c = x.shape
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        if self.window > 0:
-            yw, hw_pad = window_partition(y, self.window)
-            yw = ViTAttention(
-                self.dim, self.heads, input_hw=(self.window, self.window),
-                dtype=self.dtype, name="attn",
-            )(yw)
-            y = window_unpartition(yw, self.window, hw_pad, (h, w))
-        else:
-            y = ViTAttention(self.dim, self.heads, input_hw=(h, w), dtype=self.dtype, name="attn")(y)
-        x = x + y
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y)
-        return x + nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+# attention/window blocks are shared with the detection ViT backbone
+from ...modeling.backbone.vit import (  # noqa: E402
+    ViTAttention,
+    ViTBlock,
+    window_partition,
+    window_unpartition,
+)
 
 
 class SAMImageEncoder(nn.Module):

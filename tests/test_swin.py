@@ -62,3 +62,48 @@ def test_droppath_deterministic_by_default():
     c = sw.apply(p, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
     d = sw.apply(p, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(c["s2"]), np.asarray(d["s2"]))
+
+
+def test_convnext_backbone_shapes():
+    from divergen_tpu.modeling.backbone.convnext import ConvNeXt
+
+    m = ConvNeXt(depths=(1, 1, 1, 1), dims=(16, 32, 64, 128))
+    x = jnp.zeros((1, 64, 64, 3))
+    p = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(p, x)
+    assert out["c2"].shape == (1, 16, 16, 16)
+    assert out["c5"].shape == (1, 2, 2, 128)
+
+
+def test_vitdet_backbone_pyramid():
+    from divergen_tpu.modeling.backbone.vit import ViT, ViTDet
+
+    m = ViTDet(vit=ViT(dim=32, layers=2, heads=2, window=2, global_layers=(1,)), out_channels=32)
+    x = jnp.zeros((1, 64, 64, 3))
+    p = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(p, x)
+    assert out["p2"].shape == (1, 16, 16, 32)
+    assert out["p4"].shape == (1, 4, 4, 32)
+    assert out["p7"].shape == (1, 1, 1, 32)
+
+
+def test_build_model_vitdet_and_convnext_e2e():
+    from divergen_tpu.config import get_cfg
+    from divergen_tpu.modeling.meta_arch.rcnn import build_model
+
+    for name, size_field in [("build_vit_fpn_backbone", None), ("build_convnext_fpn_backbone", None)]:
+        cfg = get_cfg()
+        cfg.MODEL.BACKBONE.NAME = name
+        cfg.MODEL.VIT_SIZE = "T"
+        cfg.MODEL.CENTERNET.NUM_CLASSES = 4
+        cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+        cfg.MODEL.CENTERNET.PRE_NMS_TOPK_TEST = 32
+        cfg.MODEL.CENTERNET.POST_NMS_TOPK_TEST = 16
+        cfg.TEST.DETECTIONS_PER_IMAGE = 8
+        cfg.FP16 = False
+        model = build_model(cfg)
+        x = jnp.zeros((1, 128, 128, 3))
+        sizes = jnp.array([[128, 128]])
+        params = model.init(jax.random.PRNGKey(0), x, sizes, training=False)
+        dets = model.apply(params, x, sizes, training=False)
+        assert dets["boxes"].shape == (1, 8, 4), name
