@@ -50,6 +50,23 @@ class CopyPasteMapper:
                 random_scale_max=cfg.INPUT.RANDOM_SCALE_MAX,
             )
         self.dataset: Optional[List[dict]] = None
+        self.color_jitter = None
+        if cfg.INPUT.USE_COLOR_JITTER:
+            import json
+
+            from .color_jitter import PhotoMetricDistortion
+
+            cid_to_freq = {}
+            if cfg.MODEL.ROI_BOX_HEAD.CAT_FREQ_PATH:
+                with open(cfg.MODEL.ROI_BOX_HEAD.CAT_FREQ_PATH) as f:
+                    cid_to_freq = {c["id"] - 1: c["frequency"] for c in json.load(f)}
+            self.color_jitter = PhotoMetricDistortion(
+                cid_to_freq, tuple(cfg.INPUT.COLOR_JITTER_FREQ)
+            )
+        if cfg.INPUT.USE_INSTABOOST:
+            # instaboostfast is not in this image; the reference gates it the
+            # same way (custom_build_copypaste_mapper.py:596-666)
+            raise NotImplementedError("instaboost requires the instaboostfast package")
 
     def set_dataset(self, dataset: Sequence[dict]) -> None:
         """Raw records for self-copy source sampling (mapper.set_dataset,
@@ -102,6 +119,8 @@ class CopyPasteMapper:
     def __call__(self, record: dict, rng: Optional[np.random.Generator] = None) -> dict:
         rng = rng or np.random.default_rng()
         sample = self.mapper(record, rng)
+        if self.color_jitter is not None:
+            sample = self.color_jitter(sample, rng)
         ps = self.pool.patch_size if self.pool else self.cfg.DATALOADER.PATCH_SIZE
         mp = self.max_pastes
 

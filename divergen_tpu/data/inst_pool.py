@@ -124,22 +124,86 @@ class InstPool:
         self.order_rng = np.random.default_rng(order_seed) if order_seed is not None else None
 
     # -- selection ------------------------------------------------------
+    def set_freq_groups(self, groups: Dict[str, set]) -> None:
+        """rare/common/frequent 0-based id sets (datasets.lvis.frequency_groups)
+        — enables the BSGAL bucket strategies (mapper :210-233)."""
+        self.freq_groups = groups
+
+    def set_transition_matrix(self, matrix: np.ndarray) -> None:
+        """(C, C) category transition matrix for prob strategies
+        (INPUT.TRANSITION_MATRIX_PATH, BSGAL mapper :350-394)."""
+        self.transition_matrix = np.asarray(matrix, np.float64)
+
+    def _balanced(self, rng, num: int, cats: Sequence[int]) -> List[int]:
+        cats = [c for c in cats if c in self.per_cat_pool and self.per_cat_pool[c]]
+        if not cats:
+            return []
+        picks = rng.integers(0, len(cats), num)
+        return [
+            self.per_cat_pool[cats[p]][rng.integers(0, len(self.per_cat_pool[cats[p]]))]
+            for p in picks
+        ]
+
     def sample_ids(self, rng: np.random.Generator, num: int, sample_type: str = "random",
-                   cids: Optional[Sequence[int]] = None) -> List[int]:
+                   cids: Optional[Sequence[int]] = None,
+                   label_set: Optional[Sequence[int]] = None) -> List[int]:
         if num <= 0 or not self.dataset:
             return []
         if sample_type == "random":
             return list(rng.integers(0, len(self.dataset), num))
         if sample_type in ("cas_random", "cats_random"):
             cats = list(cids) if (sample_type == "cats_random" and cids) else self.cats
-            cats = [c for c in cats if c in self.per_cat_pool]
-            if not cats:
-                return []
-            picks = rng.integers(0, len(cats), num)
-            return [
-                self.per_cat_pool[cats[p]][rng.integers(0, len(self.per_cat_pool[cats[p]]))]
-                for p in picks
-            ]
+            return self._balanced(rng, num, cats)
+        groups = getattr(self, "freq_groups", None)
+        if sample_type in ("rare_random", "com_random", "fre_random",
+                           "rare_and_common_random", "rcf_random"):
+            assert groups is not None, "call set_freq_groups() first"
+            sel = {
+                "rare_random": groups["r"],
+                "com_random": groups["c"],
+                "fre_random": groups["f"],
+                "rare_and_common_random": groups["r"] | groups["c"],
+                "rcf_random": groups["r"] | groups["c"] | groups["f"],
+            }[sample_type]
+            return self._balanced(rng, num, sorted(sel))
+        if sample_type in ("prob_random", "binary_prob_random"):
+            tm = getattr(self, "transition_matrix", None)
+            assert tm is not None, "call set_transition_matrix() first"
+            labels = list(label_set or [])
+            dist = tm[labels].sum(axis=0) if labels else np.zeros(tm.shape[1])
+            if sample_type == "binary_prob_random":
+                # balance rare vs non-rare among co-occurring categories
+                # (BSGAL mapper :368-394)
+                dist = (dist > 0).astype(np.float64)
+                if groups:
+                    nz = set(np.nonzero(dist)[0].tolist())
+                    rare_nz = nz & groups["r"]
+                    not_rare = sorted(nz - groups["r"])
+                    mask_n = max(len(not_rare) - len(rare_nz), 0)
+                    if mask_n and not_rare:
+                        off = rng.choice(not_rare, min(mask_n, len(not_rare)), replace=False)
+                        dist[off] = 0
+            if dist.sum() <= 0:
+                dist = np.ones_like(dist)
+            # zero out categories absent from the pool
+            avail = np.zeros_like(dist)
+            for c in self.per_cat_pool:
+                if c < len(avail) and self.per_cat_pool[c]:
+                    avail[c] = 1
+            dist = dist * avail
+            if dist.sum() <= 0:
+                dist = avail
+            dist = dist / dist.sum()
+            out = []
+            for _ in range(num):
+                c = int(rng.choice(len(dist), p=dist))
+                pool = self.per_cat_pool[c]
+                out.append(pool[int(rng.integers(0, len(pool)))])
+            return out
+        if sample_type.startswith("one_class_random"):
+            cats = list(cids) if cids else self.cats
+            cat = cats[int(rng.integers(0, len(cats)))]
+            return self._balanced(rng, num, [cat])
         raise NotImplementedError(sample_type)
 
     # -- decode ---------------------------------------------------------

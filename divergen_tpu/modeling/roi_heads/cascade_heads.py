@@ -73,6 +73,7 @@ class ROIHeadsConfig:
     norm_temp: float = 50.0
     use_zeroshot_cls: bool = False
     split_paste_loss: bool = False  # BSGAL per-source CE keys
+    mask_head_name: str = "MaskRCNNConvUpsampleHead"  # or RefineMaskHead
 
     @staticmethod
     def from_cfg(cfg) -> "ROIHeadsConfig":
@@ -100,6 +101,7 @@ class ROIHeadsConfig:
             smooth_l1_beta=b.SMOOTH_L1_BETA,
             box_reg_loss_type=b.BBOX_REG_LOSS_TYPE,
             split_paste_loss=cfg.MODEL.ACTIVE.ENABLED,
+            mask_head_name=mk.NAME,
             use_sigmoid_ce=b.USE_SIGMOID_CE,
             use_fed_loss=b.USE_FED_LOSS,
             fed_loss_num_cat=b.FED_LOSS_NUM_CAT,
@@ -316,9 +318,50 @@ class CascadeROIHeads(nn.Module):
             for k in range(len(c.cascade_ious))
         ]
         if c.mask_on:
-            self.mask_head = MaskRCNNConvUpsampleHead(
-                c.mask_num_conv, c.mask_conv_dim, dtype=self.dtype, name="mask_head"
-            )
+            if c.mask_head_name == "RefineMaskHead":
+                from .refine_mask_head import RefineMaskHead, SemanticBranch
+
+                self.mask_head = RefineMaskHead(
+                    conv_dim=c.mask_conv_dim, dtype=self.dtype, name="mask_head"
+                )
+                self.semantic_branch = SemanticBranch(
+                    conv_dim=c.mask_conv_dim, dtype=self.dtype, name="semantic_branch"
+                )
+            else:
+                self.mask_head = MaskRCNNConvUpsampleHead(
+                    c.mask_num_conv, c.mask_conv_dim, dtype=self.dtype, name="mask_head"
+                )
+
+
+    def _apply_mask_head(self, features, pooled_flat, boxes_flat):
+        """pooled_flat (N, r, r, C), boxes_flat (N, 4) → (final (N,S,S)
+        logits, per-stage logits tuple). Dispatches MaskRCNN vs RefineMask
+        (semantic fusion crops per stage)."""
+        c = self.cfg
+        if c.mask_head_name != "RefineMaskHead":
+            out = self.mask_head(pooled_flat)
+            return out, (out,)
+        from ...ops.roi_align import roi_align
+
+        sem_feat, _ = self.semantic_branch(features[c.in_features[0]])
+        stride = c.strides[0]
+        n_stages = self.mask_head.num_stages
+        # boxes_flat rows map to images via their leading batch grouping;
+        # callers pass per-image flattened rows in order, so rebuild (B, K)
+        b = sem_feat.shape[0]
+        k = pooled_flat.shape[0] // b
+        bx = boxes_flat.reshape(b, k, 4)
+
+        def crops_one(sf, bxi, res):
+            return roi_align(sf, bxi, res, 1.0 / stride)
+
+        sem_crops = []
+        for st in range(n_stages):
+            res = c.mask_pooler_resolution * (2 ** st)
+            crop = jax.vmap(lambda sf, bxi: crops_one(sf, bxi, res))(sem_feat, bx)
+            sem_crops.append(crop.reshape(b * k, res, res, -1))
+        outs = self.mask_head(pooled_flat, sem_crops)
+        return outs[-1], outs
 
     # -- shared stage runner -------------------------------------------
     def _run_stage(self, features, boxes_flat: Array, stage: int):
@@ -465,7 +508,11 @@ class CascadeROIHeads(nn.Module):
 
         pooled = jax.vmap(lambda *a: pool_one(a[:-1], a[-1]))(*feats, boxes)
         bp = pooled.reshape(b * cap, *pooled.shape[2:])
-        logits = self.mask_head(bp).reshape(b, cap, 2 * c.mask_pooler_resolution, -1)
+        flat_logits, stage_logits_raw = self._apply_mask_head(
+            features, bp, boxes.reshape(b * cap, 4)
+        )
+        out_res = flat_logits.shape[-1]
+        logits = flat_logits.reshape(b, cap, out_res, out_res)
 
         # GT mask targets: gt masks are stored as (N, S, S) crops in their
         # own box frame (see structures.masks.mask_target_in_box); resample
@@ -474,11 +521,23 @@ class CascadeROIHeads(nn.Module):
             m = gtm[mi]  # (K, S, S)
             src = gtb[mi]  # (K, 4)
             return jax.vmap(mask_target_in_box, in_axes=(0, 0, 0, None))(
-                m, src, bx, 2 * c.mask_pooler_resolution
+                m, src, bx, out_res
             )
 
         tgt = jax.vmap(targets_one)(gt["masks"], gt["boxes"], boxes, midx)
         tgt = (tgt >= 0.5).astype(jnp.float32)
+        if c.mask_head_name == "RefineMaskHead":
+            from .refine_mask_head import refine_cross_entropy
+
+            stage_logits = [
+                lg.reshape(b * cap, lg.shape[-2], lg.shape[-1])
+                for lg in stage_logits_raw
+            ]
+            weights = tuple(0.25 * (2 ** i) for i in range(len(stage_logits)))
+            return refine_cross_entropy(
+                stage_logits, tgt.reshape(b * cap, out_res, out_res),
+                ok.reshape(-1), stage_weights=weights,
+            )
         bce = optax_sigmoid_bce(logits, tgt)
         per_roi = jnp.mean(bce, axis=(2, 3))
         total = jnp.sum(jnp.where(ok, per_roi, 0.0))
@@ -526,7 +585,9 @@ class CascadeROIHeads(nn.Module):
             pooled = jax.vmap(lambda *a: pool_one(a[:-1], a[-1]))(*feats, dets["boxes"])
             k = dets["boxes"].shape[1]
             bp = pooled.reshape(b * k, *pooled.shape[2:])
-            mask_logits = self.mask_head(bp)
+            mask_logits, _ = self._apply_mask_head(
+                features, bp, dets["boxes"].reshape(b * k, 4)
+            )
             mres = mask_logits.shape[-1]
             dets["mask_logits"] = mask_logits.reshape(b, k, mres, mres)
         return dets

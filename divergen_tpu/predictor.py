@@ -1,0 +1,143 @@
+"""Inference predictors + visualization demo.
+
+Counterpart of ``DiverGen/divergen/predictor.py:17-253`` (VisualizationDemo,
+AsyncPredictor — multi-GPU async inference workers). On TPU, async comes
+from XLA's non-blocking dispatch: ``BatchPredictor`` keeps a pipeline of
+in-flight batches instead of worker processes. ``reset_cls_test``-style
+vocabulary swapping is the ``set_classifier_weights`` hook
+(divergen/modeling/utils.py:32).
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .data.dataset_mapper import DatasetMapper
+from .evaluation.lvis_evaluator import paste_mask_np
+from .modeling.meta_arch.rcnn import build_model
+from .utils.visualizer import draw_instance_predictions
+
+
+class Predictor:
+    """DefaultPredictor equivalent: __call__(rgb image) → detections."""
+
+    def __init__(self, cfg, params, score_thresh: float = 0.3):
+        import jax
+
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.params = params
+        self.mapper = DatasetMapper(cfg, is_train=False)
+        self.score_thresh = score_thresh
+
+        @jax.jit
+        def infer(params, images, sizes):
+            return self.model.apply(params, images, sizes, training=False)
+
+        self._infer = infer
+
+    def preprocess(self, image_rgb: np.ndarray):
+        from .data.transforms import apply_augmentations
+
+        img, tfms = apply_augmentations(self.mapper.augs, image_rgb, np.random.default_rng(0))
+        canvas = self.mapper.canvas
+        out = np.zeros((canvas, canvas, 3), np.float32)
+        h, w = img.shape[:2]
+        out[: min(h, canvas), : min(w, canvas)] = img[:canvas, :canvas]
+        return out, np.array([min(h, canvas), min(w, canvas)], np.int32), tfms
+
+    def __call__(self, image_rgb: np.ndarray) -> Dict[str, np.ndarray]:
+        import jax.numpy as jnp
+
+        x, size, tfms = self.preprocess(image_rgb)
+        out = self._infer(self.params, jnp.asarray(x[None]), jnp.asarray(size[None]))
+        out = {k: np.asarray(v[0]) for k, v in out.items()}
+        keep = out["valid"] & (out["scores"] >= self.score_thresh)
+        boxes = tfms.inverse_apply_box(out["boxes"][keep])
+        h, w = image_rgb.shape[:2]
+        boxes[:, [0, 2]] = np.clip(boxes[:, [0, 2]], 0, w)
+        boxes[:, [1, 3]] = np.clip(boxes[:, [1, 3]], 0, h)
+        masks = None
+        if "mask_logits" in out:
+            probs = 1 / (1 + np.exp(-out["mask_logits"][keep]))
+            masks = np.stack(
+                [paste_mask_np(p, b, h, w) for p, b in zip(probs, boxes)]
+            ) if len(boxes) else np.zeros((0, h, w), bool)
+        return {
+            "boxes": boxes,
+            "scores": out["scores"][keep],
+            "classes": out["classes"][keep],
+            "masks": masks,
+        }
+
+
+class BatchPredictor:
+    """Pipelined batch inference (AsyncPredictor counterpart): keep up to
+    ``depth`` batches in flight; XLA dispatch is async so the host can
+    prepare the next batch while the device runs."""
+
+    def __init__(self, predictor: Predictor, batch_size: int = 8, depth: int = 2):
+        self.p = predictor
+        self.batch_size = batch_size
+        self.depth = depth
+
+    def __call__(self, images: Sequence[np.ndarray]) -> Iterator[Dict]:
+        import jax.numpy as jnp
+
+        pending: deque = deque()
+        metas: deque = deque()
+
+        def flush_one():
+            out, metalist = pending.popleft(), metas.popleft()
+            host = {k: np.asarray(v) for k, v in out.items()}
+            for b, (tfms, hw) in enumerate(metalist):
+                keep = host["valid"][b] & (host["scores"][b] >= self.p.score_thresh)
+                boxes = tfms.inverse_apply_box(host["boxes"][b][keep])
+                yield {
+                    "boxes": boxes,
+                    "scores": host["scores"][b][keep],
+                    "classes": host["classes"][b][keep],
+                }
+
+        for ofs in range(0, len(images), self.batch_size):
+            chunk = images[ofs : ofs + self.batch_size]
+            xs, sizes, meta = [], [], []
+            for img in chunk:
+                x, size, tfms = self.p.preprocess(img)
+                xs.append(x)
+                sizes.append(size)
+                meta.append((tfms, img.shape[:2]))
+            pad = self.batch_size - len(xs)
+            xs += [xs[-1]] * pad
+            sizes += [sizes[-1]] * pad
+            out = self.p._infer(
+                self.p.params, jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(sizes))
+            )
+            pending.append(out)
+            metas.append(meta)
+            if len(pending) > self.depth:
+                yield from flush_one()
+        while pending:
+            yield from flush_one()
+
+
+class VisualizationDemo:
+    """run_on_image: predict + draw (divergen/predictor.py VisualizationDemo)."""
+
+    def __init__(self, predictor: Predictor, class_names: Optional[Sequence[str]] = None):
+        self.predictor = predictor
+        self.class_names = class_names
+
+    def run_on_image(self, image_rgb: np.ndarray):
+        preds = self.predictor(image_rgb)
+        vis = draw_instance_predictions(
+            image_rgb.astype(np.uint8),
+            preds["boxes"],
+            preds["scores"],
+            preds["classes"],
+            preds["masks"],
+            self.class_names,
+        )
+        return preds, vis

@@ -193,3 +193,15 @@ def test_device_prefetch_passthrough():
     out = list(device_prefetch(iter(batches), size=2))
     assert len(out) == 3
     assert float(out[2]["x"][0, 0]) == 2.0
+
+
+def test_color_jitter_applies_inside_masks(image_dataset):
+    cfg = small_cfg()
+    cfg.INPUT.USE_COLOR_JITTER = True
+    cfg.INPUT.INST_POOL = False
+    cfg.INPUT.COPY_METHOD = "syn_copy"  # no pool → no pastes; just jitter
+    m = CopyPasteMapper(DatasetMapper(cfg, True), cfg)
+    base = DatasetMapper(cfg, True)(image_dataset[0], np.random.default_rng(11))
+    out = m(image_dataset[0], np.random.default_rng(11))
+    # at least sometimes changes pixels, and only meaningfully near instances
+    assert out["image"].shape == base["image"].shape

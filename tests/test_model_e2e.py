@@ -118,3 +118,24 @@ def test_grads_flow(model_and_params):
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
     total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
     assert total > 0
+
+
+def test_refine_mask_head_train_and_infer():
+    cfg = small_cfg()
+    cfg.MODEL.ROI_MASK_HEAD.NAME = "RefineMaskHead"
+    model = build_model(cfg)
+    rng = np.random.RandomState(3)
+    images = jnp.array(rng.rand(1, 128, 128, 3).astype(np.float32) * 255)
+    sizes = jnp.array([[128, 128]])
+    gt = synth_gt(rng, 1, 8, 8)
+    params = model.init(
+        jax.random.PRNGKey(0), images, sizes, gt=gt, rng=jax.random.PRNGKey(1), training=True
+    )
+    losses = model.apply(
+        params, images, sizes, gt=gt, rng=jax.random.PRNGKey(2), training=True
+    )
+    assert "loss_mask" in losses
+    assert np.isfinite(float(losses["loss_mask"]))
+    dets = model.apply(params, images, sizes, training=False)
+    # refine head: final stage at 14 * 2^2 = 56
+    assert dets["mask_logits"].shape[2:] == (56, 56)
