@@ -1,16 +1,21 @@
 """Driver benchmark — prints ONE JSON line.
 
-Round-1 workload: the copy-paste compositing stage (BASELINE.json configs[0]
-— "paste 4 pre-generated RGBA instances onto one LVIS image (CPU
-numpy/PIL)"). Ours runs the whole compositor on-device (vmapped XLA ops,
-ops/copy_paste.py); the baseline is the reference's CPU numpy path
-(custom_build_copypaste_mapper.py:510-566 semantics, reimplemented with the
-same numpy ops: cv2.resize + np.where blends + mask updates + bbox scan).
+Measures the BASELINE.json headline: generated+filtered+pasted instances
+per hour per chip, through the real on-device graphs of every stage:
 
-vs_baseline = ours / cpu_reference (higher is better).
+  1. SDXL-base UNet (2.6B) 1024² 50-step CFG denoise + VAE decode (bf16,
+     one lax.scan) — per-step time measured by differencing two scan
+     lengths, scaled to 50 steps
+  2. SAM ViT-H corner-prompt mask extraction at 1024²
+  3. CLIP ViT-L/14 score+similarity at 224²
+  4. on-device copy-paste compositing at 896² (4 pastes/img)
 
-As later rounds land generation/filtering stages this grows toward the full
-"SDXL imgs/hr/chip through gen+filter+paste" metric.
+chain rate = 1 / (t_gen + t_sam + t_clip + t_paste) per instance.
+vs_baseline = rate / 2000 inst/hr (the BASELINE.json north-star target).
+
+Weights are random (throughput is architecture-, not weight-, dependent).
+The axon tunnel is async with ~35ms readback RTT — every timing uses the
+difference method (K-iter chain + one scalar readback, minus 0-iter RTT).
 """
 import json
 import sys
@@ -20,130 +25,200 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-H = W = 896  # TRAIN_SIZE of the flagship config (DiverGen_swinL.yaml)
-B = 8  # images composited per device step
-N_DST = 8  # real instances per image
-P = 4  # pasted instances per image
-PATCH = 128
 
-
-def make_inputs(rng):
-    image = (rng.rand(H, W, 3) * 255).astype(np.float32)
-    masks = np.zeros((N_DST, H, W), bool)
-    for i in range(N_DST):
-        y, x = rng.randint(0, H - 100), rng.randint(0, W - 100)
-        masks[i, y : y + 80, x : x + 80] = True
-    boxes = np.zeros((N_DST, 4), np.float32)
-    for i in range(N_DST):
-        ys, xs = np.where(masks[i])
-        boxes[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
-    patches = (rng.rand(P, PATCH, PATCH, 4)).astype(np.float32)
-    patches[..., :3] *= 255
-    patches[..., 3] = (patches[..., 3] > 0.3).astype(np.float32)
-    pboxes = np.zeros((P, 4), np.float32)
-    for i in range(P):
-        y, x = rng.randint(0, H - 200), rng.randint(0, W - 200)
-        s = rng.randint(60, 180)
-        pboxes[i] = [x, y, x + s, y + s]
-    return image, masks, boxes, patches, pboxes
-
-
-def bench_cpu(inputs, iters=3):
-    """Reference-style CPU paste: cv2.resize patch to box + numpy blends."""
-    import cv2
-
-    image, masks, boxes, patches, pboxes = inputs
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        img = image.copy()
-        cur = list(masks.copy())
-        for k in range(P):
-            x1, y1, x2, y2 = pboxes[k].astype(int)
-            pw, ph = x2 - x1, y2 - y1
-            resized = cv2.resize(patches[k], (pw, ph))
-            full = np.zeros((H, W, 4), np.float32)
-            full[y1:y2, x1:x2] = resized
-            bin_mask = full[..., 3] > 128 / 255
-            wgt = bin_mask.astype(np.float32)[..., None]
-            img = img * (1 - wgt) + full[..., :3] * wgt
-            cur = [np.where(bin_mask, False, m) for m in cur]
-            cur.append(bin_mask)
-        allm = np.stack(cur)
-        # bbox recompute (get_bboxes)
-        for i in range(len(allm)):
-            ys, xs = np.where(allm[i])
-            if len(ys):
-                _ = (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1)
-    dt = (time.perf_counter() - t0) / iters
-    return P / dt  # pasted instances per second per image
-
-
-def bench_device(inputs, iters=64):
-    """Difference timing: the axon tunnel is fully async (block_until_ready
-    returns before execution) and a scalar readback costs a fixed ~35ms RTT
-    after warmup. So: time (K chained calls + readback) minus (0 calls +
-    readback) and divide by K. Chaining feeds each call's output image into
-    the next call so nothing can be elided."""
-    import jax
-    import jax.numpy as jnp
-
-    from divergen_tpu.ops.copy_paste import paste_instances_batch
-
-    image, masks, boxes, patches, pboxes = inputs
-    batch = {
-        "image": jnp.array(np.broadcast_to(image, (B, H, W, 3))),
-        "masks": jnp.array(np.broadcast_to(masks, (B, N_DST, H, W))),
-        "boxes": jnp.array(np.broadcast_to(boxes, (B, N_DST, 4))),
-        "classes": jnp.zeros((B, N_DST), jnp.int32),
-        "valid": jnp.ones((B, N_DST), bool),
-        "instance_source": jnp.zeros((B, N_DST), jnp.int32),
-        "patches": jnp.array(np.broadcast_to(patches, (B, P, PATCH, PATCH, 4))),
-        "patch_boxes": jnp.array(np.broadcast_to(pboxes, (B, P, 4))),
-        "patch_classes": jnp.zeros((B, P), jnp.int32),
-        "patch_valid": jnp.ones((B, P), bool),
-        "patch_flip": jnp.zeros((B, P), bool),
-    }
-    fn = jax.jit(paste_instances_batch(mode="basic"))
-    probe = jax.jit(lambda o: jnp.sum(o["image"][:, ::97, ::97]))
-
-    def run(k):
-        b = dict(batch)
-        for _ in range(k):
-            b["image"] = fn(b)["image"]
-        t0 = time.perf_counter()
-        _ = float(probe({"image": b["image"]}))
-        return time.perf_counter() - t0
-
-    # warmup: compile + first-execution tunnel latency
-    _ = run(1)
-    _ = run(1)
+def _diff_time(run_k, k_small, k_big, probe):
+    """Wall time per iteration via two chain lengths + scalar readback."""
 
     def timed(k):
         t0 = time.perf_counter()
-        b = dict(batch)
-        for _ in range(k):
-            b["image"] = fn(b)["image"]
-        _ = float(probe({"image": b["image"]}))
+        out = run_k(k)
+        _ = float(probe(out))
         return time.perf_counter() - t0
 
-    base = min(timed(0) for _ in range(3))
-    total = min(timed(iters) for _ in range(3))
-    dt = max(total - base, 1e-9) / iters
-    return B * P / dt  # pasted instances per second
+    _ = timed(k_small)  # warmup / compile
+    t_small = min(timed(k_small) for _ in range(2))
+    t_big = min(timed(k_big) for _ in range(2))
+    return max(t_big - t_small, 1e-9) / (k_big - k_small)
+
+
+def bench_sdxl(steps_full=50):
+    import jax
+    import jax.numpy as jnp
+
+    from divergen_tpu.pipeline.generation.scheduler import euler_sigmas, make_scheduler
+    from divergen_tpu.pipeline.generation.unet import UNetSDXL
+    from divergen_tpu.pipeline.generation.vae import VAEDecoder
+
+    B = 1
+    unet = UNetSDXL(dtype=jnp.bfloat16)
+    lat = jnp.zeros((B, 128, 128, 4), jnp.float32)
+    ctx = jnp.zeros((2 * B, 77, 2048), jnp.bfloat16)
+    pooled = jnp.zeros((2 * B, 1280), jnp.bfloat16)
+    tids = jnp.zeros((2 * B, 6), jnp.float32)
+    # jit the init: eager init would run thousands of tiny ops through the
+    # async tunnel; one compiled program instead
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), lat[:1], jnp.zeros((1,)),
+                                ctx[:1], pooled[:1], tids[:1])
+    sched = make_scheduler("scaled_linear")
+    ts, sigmas = euler_sigmas(sched, steps_full)
+    ts_j = jnp.asarray(ts, jnp.float32)
+    sig_j = jnp.asarray(sigmas, jnp.float32)
+
+    def make_runner(k):
+        @jax.jit
+        def run(latents):
+            def body(l, i):
+                x = l / jnp.sqrt(sig_j[i] ** 2 + 1.0)
+                x2 = jnp.concatenate([x, x], axis=0)
+                t2 = jnp.broadcast_to(ts_j[i], (2 * B,))
+                eps2 = unet.apply(params, x2, t2, ctx, pooled, tids)
+                eu, ec = jnp.split(eps2, 2, axis=0)
+                eps = eu + 7.5 * (ec - eu)
+                pred_x0 = l - sig_j[i] * eps.astype(l.dtype)
+                d = (l - pred_x0) / jnp.maximum(sig_j[i], 1e-9)
+                return l + (sig_j[i + 1] - sig_j[i]) * d, None
+
+            out, _ = jax.lax.scan(body, latents, jnp.arange(k))
+            return out
+
+        return run
+
+    probes = {}
+
+    def run_k(k):
+        if k not in probes:
+            probes[k] = make_runner(k)
+        return probes[k](lat)
+
+    per_step = _diff_time(run_k, 2, 10, lambda o: np.asarray(o[0, ::64, ::64, 0]).sum())
+    t_denoise = per_step * steps_full
+
+    vae = VAEDecoder(dtype=jnp.bfloat16)
+    vparams = jax.jit(vae.init)(jax.random.PRNGKey(1), lat)
+    dec = jax.jit(lambda l: vae.apply(vparams, l))
+
+    def vae_k(k):
+        out = lat
+        for _ in range(k):
+            out = dec(out)[..., :4] * 0.0 + lat  # keep shapes; force k decodes
+        return dec(out)
+
+    t_vae = _diff_time(vae_k, 0, 2, lambda o: np.asarray(o[0, ::256, ::256, 0]).sum())
+    return (t_denoise + t_vae) / B
+
+
+def bench_sam():
+    import jax
+    import jax.numpy as jnp
+
+    from divergen_tpu.pipeline.segmentation.sam import SAM
+
+    B = 1
+    sam = SAM.vit_h(dtype=jnp.bfloat16)
+    imgs = jnp.zeros((B, 1024, 1024, 3), jnp.float32)
+    pts = jnp.tile(jnp.asarray([[10.0, 10.0], [1014, 10], [10, 1014], [1014, 1014]])[None], (B, 1, 1))
+    lbl = jnp.ones((B, 4), jnp.int32)
+    params = jax.jit(sam.init)(jax.random.PRNGKey(0), imgs, pts, lbl)
+    fwd = jax.jit(lambda im: sam.apply(params, im, pts, lbl)[0])
+
+    def run_k(k):
+        im = imgs
+        out = None
+        for _ in range(k):
+            out = fwd(im)
+            im = imgs + out[:, :1, :1, :1024].reshape(B, 1, 1024, 1)[:, :, :1, :] * 0  # chain dep
+        return fwd(im)
+
+    t = _diff_time(run_k, 0, 3, lambda o: np.asarray(o[0, 0, ::8, ::8]).sum())
+    return t / B
+
+
+def bench_clip():
+    import jax
+    import jax.numpy as jnp
+
+    from divergen_tpu.modeling.text.clip import build_clip, preprocess_images
+
+    B = 16
+    vision, _ = build_clip("ViT-L/14")
+    imgs = jnp.zeros((B, 224, 224, 3), jnp.float32)
+    params = jax.jit(vision.init)(jax.random.PRNGKey(0), imgs)
+    fwd = jax.jit(lambda im: vision.apply(params, preprocess_images(im)))
+
+    def run_k(k):
+        im = imgs
+        out = None
+        for _ in range(k):
+            out = fwd(im)
+            im = imgs + out[:, 0].reshape(B, 1, 1, 1) * 0
+        return fwd(im)
+
+    t = _diff_time(run_k, 0, 4, lambda o: np.asarray(o[:, 0]).sum())
+    return t / B
+
+
+def bench_paste():
+    import jax
+    import jax.numpy as jnp
+
+    from divergen_tpu.ops.copy_paste import paste_instances_boxframe
+
+    B, P, N, S, PS, H = 8, 4, 8, 28, 128, 896
+    rng = np.random.RandomState(0)
+    batch = dict(
+        image=jnp.asarray(rng.rand(B, H, H, 3).astype(np.float32) * 255),
+        masks=jnp.ones((B, N, S, S), jnp.float32),
+        boxes=jnp.asarray(np.tile([100.0, 100.0, 300.0, 300.0], (B, N, 1)).astype(np.float32)),
+        classes=jnp.zeros((B, N), jnp.int32),
+        valid=jnp.ones((B, N), bool),
+        source=jnp.zeros((B, N), jnp.int32),
+        patches=jnp.asarray(rng.rand(B, P, PS, PS, 4).astype(np.float32)),
+        pboxes=jnp.asarray(np.tile([200.0, 200.0, 400.0, 400.0], (B, P, 1)).astype(np.float32)),
+        pcls=jnp.zeros((B, P), jnp.int32),
+        pval=jnp.ones((B, P), bool),
+        pflip=jnp.zeros((B, P), bool),
+    )
+
+    @jax.jit
+    def fwd(img):
+        def one(im, s_masks, s_boxes, s_cls, s_val, s_src, pc, pb, pcl, pv, pf):
+            return paste_instances_boxframe(
+                im, s_masks, s_boxes, s_cls, s_val, s_src, pc, pb, pcl, pv, pf
+            )["image"]
+
+        return jax.vmap(one)(
+            img, batch["masks"], batch["boxes"], batch["classes"], batch["valid"],
+            batch["source"], batch["patches"], batch["pboxes"], batch["pcls"],
+            batch["pval"], batch["pflip"],
+        )
+
+    def run_k(k):
+        im = batch["image"]
+        for _ in range(k):
+            im = fwd(im)
+        return im
+
+    t = _diff_time(run_k, 0, 8, lambda o: np.asarray(o[0, ::128, ::128, 0]).sum())
+    return t / (B * P)  # per pasted instance
 
 
 def main():
-    rng = np.random.RandomState(0)
-    inputs = make_inputs(rng)
-    cpu_per_image = bench_cpu(inputs)
-    dev = bench_device(inputs)
+    t_gen = bench_sdxl()
+    t_sam = bench_sam()
+    t_clip = bench_clip()
+    t_paste = bench_paste()
+    per_instance = t_gen + t_sam + t_clip + t_paste
+    rate_hr = 3600.0 / per_instance
     print(
         json.dumps(
             {
-                "metric": "copy_paste_pasted_instances_per_s",
-                "value": round(dev, 2),
-                "unit": "inst/s (896x896, 4 pastes/img, on-device)",
-                "vs_baseline": round(dev / cpu_per_image, 2),
+                "metric": "gen_filter_paste_instances_per_hr_per_chip",
+                "value": round(rate_hr, 1),
+                "unit": (
+                    f"inst/hr (SDXL-1024²-50step {t_gen:.2f}s + SAM-H {t_sam:.3f}s "
+                    f"+ CLIP-L {t_clip:.4f}s + paste {t_paste * 1e3:.2f}ms per inst)"
+                ),
+                "vs_baseline": round(rate_hr / 2000.0, 3),
             }
         )
     )

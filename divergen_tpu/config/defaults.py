@@ -216,6 +216,9 @@ def get_cfg() -> ConfigNode:
     mk.POOLER_TYPE = "ROIAlignV2"
     mk.CLS_AGNOSTIC_MASK = True
     mk.GT_SIDE = 28  # box-frame gt-mask crop side (TPU static-shape design)
+    mk.SEM_SEG_ON = False  # aux semantic target (DatasetMapperWithSemSeg)
+    mk.SEM_SEG_STRIDE = 8
+    mk.SEM_SEG_WEIGHT = 0.25
     # RefineMask head (divergen refine_mask_head.py:79)
     mk.OUT_CHANNEL = 256
     mk.NUM_FCS = 2

@@ -84,6 +84,11 @@ class DatasetMapper:
         self.mask_side = cfg.MODEL.ROI_MASK_HEAD.GT_SIDE if hasattr(
             cfg.MODEL.ROI_MASK_HEAD, "GT_SIDE"
         ) else 28
+        self.sem_seg_stride = (
+            cfg.MODEL.ROI_MASK_HEAD.SEM_SEG_STRIDE
+            if cfg.MODEL.ROI_MASK_HEAD.SEM_SEG_ON
+            else 0
+        )
         if is_train:
             self.canvas = cfg.INPUT.TRAIN_SIZE
             augs: List = []
@@ -117,6 +122,11 @@ class DatasetMapper:
             "instance_source": np.zeros((n_cap,), np.int32),
         }
         annos = record.get("annotations", []) if self.is_train else []
+        sem = None
+        if self.sem_seg_stride:
+            import cv2
+
+            sem = np.zeros((canvas // self.sem_seg_stride,) * 2, np.uint8)
         slot = 0
         for ann in annos:
             if slot >= n_cap:
@@ -139,12 +149,21 @@ class DatasetMapper:
                 mask = rasterize_box_frame(segm, tbox, side)  # RLE: approx (no tfm)
             else:
                 mask = np.ones((side, side), np.float32)
+            if sem is not None and segm is not None and not isinstance(segm, dict):
+                import cv2
+
+                for poly in segm:
+                    pts = np.asarray(poly, np.float64).reshape(-1, 2)
+                    pts = tfms.apply_coords(pts) / self.sem_seg_stride
+                    cv2.fillPoly(sem, [np.round(pts).astype(np.int32)], 1)
             gt["boxes"][slot] = tbox
             gt["classes"][slot] = ann["category_id"]
             gt["valid"][slot] = True
             gt["masks"][slot] = mask
             slot += 1
 
+        if sem is not None:
+            gt["sem_seg"] = sem.astype(np.float32)
         return {
             "image": out_img,
             "image_size": np.array([min(h, canvas), min(w, canvas)], np.int32),

@@ -105,7 +105,36 @@ def build_train_loader(cfg, mapper=None):
             mapper.set_dataset(dataset)
     rank = jax.process_index()
     world = jax.process_count()
-    if cfg.INPUT.USE_RFS or (cfg.DATALOADER.SAMPLER_TRAIN == "RepeatFactorTrainingSampler"):
+    use_rfs = cfg.INPUT.USE_RFS or (cfg.DATALOADER.SAMPLER_TRAIN == "RepeatFactorTrainingSampler")
+    if len(names) > 1:
+        # MultiDatasetSampler path (custom_dataset_dataloader.py:88-127):
+        # per-dataset ratio x optional per-dataset RFS
+        from ..data.samplers import MultiDatasetSampler
+
+        sizes = [len(DatasetCatalog.get(n)) for n in names]
+        ratios = list(cfg.DATALOADER.DATASET_RATIO)
+        if len(ratios) != len(names):
+            ratios = [1.0] * len(names)
+        rfs_flags = list(cfg.DATALOADER.USE_RFS)
+        if len(rfs_flags) != len(names):
+            rfs_flags = [False] * len(names)
+        rfs_all = []
+        ofs = 0
+        for n, sz, flag in zip(names, sizes, rfs_flags):
+            part = (
+                repeat_factors_from_category_frequency(
+                    dataset[ofs : ofs + sz], cfg.DATALOADER.REPEAT_THRESHOLD
+                )
+                if flag
+                else np.ones(sz)
+            )
+            rfs_all.append(part)
+            ofs += sz
+        sampler = MultiDatasetSampler(
+            sizes, ratios, np.concatenate(rfs_all), seed=cfg.SEED,
+            rank=rank, world_size=world,
+        )
+    elif use_rfs:
         rfs = repeat_factors_from_category_frequency(
             dataset, cfg.DATALOADER.REPEAT_THRESHOLD
         )

@@ -192,3 +192,57 @@ class CustomCOCOEvaluator(LVISEvaluator):
             ev.accumulate()
             results[task] = ev.summarize()
         return results
+
+
+class LVISEvaluatorWithLogits(LVISEvaluator):
+    """Additionally stores each detection's full class-score vector
+    (divergen/evaluation/lvis_evaluation_with_logits.py:22-380) and dumps
+    them as .npz per image for analysis."""
+
+    def __init__(self, dataset_name: str, tasks=("bbox", "segm"), max_dets: int = 300,
+                 logits_dir: Optional[str] = None):
+        super().__init__(dataset_name, tasks, max_dets)
+        self.logits_dir = logits_dir
+        self._logits: Dict[int, np.ndarray] = {}
+
+    def process(self, inputs, outputs):
+        super().process(inputs, outputs)
+        if "logits" not in outputs:
+            return
+        import os
+
+        for b, inp in enumerate(inputs):
+            valid = np.asarray(outputs["valid"][b])
+            lg = np.asarray(outputs["logits"][b])[valid]
+            self._logits[int(inp["image_id"])] = lg
+            if self.logits_dir:
+                os.makedirs(self.logits_dir, exist_ok=True)
+                np.savez_compressed(
+                    os.path.join(self.logits_dir, f"{int(inp['image_id'])}.npz"), logits=lg
+                )
+
+
+def print_csv_format(results: Dict[str, Dict[str, float]]) -> str:
+    """detectron2 print_csv_format parity: copypaste-friendly AP line."""
+    lines = []
+    for task, res in results.items():
+        keys = ["AP", "AP50", "AP75", "APs", "APm", "APl", "APr", "APc", "APf"]
+        vals = ",".join(f"{100 * res[k]:.4f}" if k in res and res[k] == res[k] else "nan" for k in keys)
+        lines.append(f"copypaste: Task: {task}")
+        lines.append("copypaste: " + ",".join(keys))
+        lines.append("copypaste: " + vals)
+    out = "\n".join(lines)
+    logger.info("\n%s", out)
+    return out
+
+
+def per_class_ap_table(ev, class_names: Optional[List[str]] = None, cols: int = 4) -> str:
+    """per-class mAP table (divergen/evaluation/per_class_map.py:10-95)."""
+    pc = ev.per_category_ap()
+    rows = []
+    items = sorted(pc.items())
+    for cid, ap in items:
+        name = class_names[cid - 1] if class_names and cid - 1 < len(class_names) else str(cid)
+        rows.append(f"{name}: {100 * ap:.1f}" if ap == ap else f"{name}: nan")
+    lines = ["  ".join(rows[i : i + cols]) for i in range(0, len(rows), cols)]
+    return "\n".join(lines)

@@ -118,6 +118,7 @@ class CustomRCNN(nn.Module):
         training: bool = True,
         axis_name: Optional[str] = None,
         gt_as_proposals: bool = False,
+        return_logits: bool = False,
     ):
         features = self._features(images)
         if gt_as_proposals:
@@ -181,7 +182,9 @@ class CustomRCNN(nn.Module):
             proposals = centernet_proposals(
                 self.centernet_cfg, geom, agn_flat, reg_flat, image_sizes, training=False
             )
-            return self.roi_heads.inference(features, proposals, image_sizes)
+            return self.roi_heads.inference(
+                features, proposals, image_sizes, return_logits=return_logits
+            )
 
 
 def build_model(cfg) -> CustomRCNN:

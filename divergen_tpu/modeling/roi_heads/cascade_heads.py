@@ -74,6 +74,7 @@ class ROIHeadsConfig:
     use_zeroshot_cls: bool = False
     split_paste_loss: bool = False  # BSGAL per-source CE keys
     mask_head_name: str = "MaskRCNNConvUpsampleHead"  # or RefineMaskHead
+    sem_seg_weight: float = 0.25
 
     @staticmethod
     def from_cfg(cfg) -> "ROIHeadsConfig":
@@ -102,6 +103,7 @@ class ROIHeadsConfig:
             box_reg_loss_type=b.BBOX_REG_LOSS_TYPE,
             split_paste_loss=cfg.MODEL.ACTIVE.ENABLED,
             mask_head_name=mk.NAME,
+            sem_seg_weight=mk.SEM_SEG_WEIGHT,
             use_sigmoid_ce=b.USE_SIGMOID_CE,
             use_fed_loss=b.USE_FED_LOSS,
             fed_loss_num_cat=b.FED_LOSS_NUM_CAT,
@@ -472,6 +474,16 @@ class CascadeROIHeads(nn.Module):
             losses["loss_mask"] = c.mask_weight * self._mask_loss(
                 jax.random.fold_in(rng, 17), features, gt, proposals
             )
+            if c.mask_head_name == "RefineMaskHead" and "sem_seg" in gt:
+                # auxiliary semantic loss (refine_mask_head.py semantic
+                # branch; targets from DatasetMapperWithSemSeg parity)
+                _, sem_logits = self.semantic_branch(features[c.in_features[0]])
+                tgt = gt["sem_seg"]
+                if tgt.shape[1:] != sem_logits.shape[1:]:
+                    tgt = jax.image.resize(tgt, sem_logits.shape, "nearest")
+                losses["loss_semantic"] = c.sem_seg_weight * jnp.mean(
+                    optax_sigmoid_bce(sem_logits, tgt)
+                )
         return losses
 
     def _mask_loss(self, rng, features, gt, proposals) -> Array:
@@ -549,6 +561,7 @@ class CascadeROIHeads(nn.Module):
         features: Dict[str, Array],
         proposals: Dict[str, Array],
         image_sizes: Array,
+        return_logits: bool = False,
     ):
         c = self.cfg
         boxes = proposals["boxes"]
@@ -576,6 +589,13 @@ class CascadeROIHeads(nn.Module):
             return _fast_rcnn_inference_single(c, bx, sc, pv, im_size)
 
         dets = jax.vmap(per_image)(boxes, cls_scores, prop_valid, image_sizes)
+        if return_logits:
+            # per-kept-box full class-score vector (detic_roi_heads_with_
+            # logits.py variant, Δ-DiverGen): gather the averaged cascade
+            # scores at each detection's source proposal
+            dets["logits"] = jnp.take_along_axis(
+                cls_scores, dets["prop_idx"][..., None], axis=1
+            )
         if c.mask_on:
             feats = [features[f] for f in c.in_features]
 
@@ -614,10 +634,11 @@ def _fast_rcnn_inference_single(c: ROIHeadsConfig, boxes, scores, valid, image_s
     cvalid = topv > -jnp.inf
     cscores = jnp.where(cvalid, topv, 0.0)
     keep = batched_nms_mask(cboxes, cscores, cls_idx, c.nms_thresh_test, cvalid)
-    out_boxes, out_scores, out_valid, keep_idx, (out_classes,) = top_scoring(
-        cboxes, cscores, keep, c.detections_per_image, extras=(cls_idx,)
+    out_boxes, out_scores, out_valid, keep_idx, (out_classes, out_prop) = top_scoring(
+        cboxes, cscores, keep, c.detections_per_image, extras=(cls_idx, prop_idx)
     )
     return {
+        "prop_idx": out_prop,
         "boxes": out_boxes,
         "scores": out_scores,
         "classes": out_classes,

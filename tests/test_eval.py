@@ -128,3 +128,15 @@ def test_per_category_ap():
     pc = ev.per_category_ap()
     assert pc[1] == pytest.approx(1.0)
     assert pc[2] == pytest.approx(0.0)
+
+
+def test_print_csv_format_and_per_class_table():
+    from divergen_tpu.evaluation.lvis_evaluator import per_class_ap_table, print_csv_format
+
+    gts = [_gt(1, 1, [0, 0, 50, 50])]
+    dets = [_det(1, 1, [0, 0, 50, 50], 0.9)]
+    ev = run(gts, dets)
+    out = print_csv_format({"bbox": ev.summarize(freq_groups={"r": {1}, "c": set(), "f": set()})})
+    assert "copypaste: Task: bbox" in out and "100.0000" in out
+    table = per_class_ap_table(ev, class_names=["thing"])
+    assert "thing: 100.0" in table

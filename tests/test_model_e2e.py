@@ -139,3 +139,23 @@ def test_refine_mask_head_train_and_infer():
     dets = model.apply(params, images, sizes, training=False)
     # refine head: final stage at 14 * 2^2 = 56
     assert dets["mask_logits"].shape[2:] == (56, 56)
+
+
+def test_refine_mask_with_semantic_loss():
+    cfg = small_cfg()
+    cfg.MODEL.ROI_MASK_HEAD.NAME = "RefineMaskHead"
+    cfg.MODEL.ROI_MASK_HEAD.SEM_SEG_ON = True
+    model = build_model(cfg)
+    rng = np.random.RandomState(4)
+    images = jnp.array(rng.rand(1, 128, 128, 3).astype(np.float32) * 255)
+    sizes = jnp.array([[128, 128]])
+    gt = synth_gt(rng, 1, 8, 8)
+    gt["sem_seg"] = jnp.array((rng.rand(1, 16, 16) > 0.7).astype(np.float32))
+    params = model.init(
+        jax.random.PRNGKey(0), images, sizes, gt=gt, rng=jax.random.PRNGKey(1), training=True
+    )
+    losses = model.apply(
+        params, images, sizes, gt=gt, rng=jax.random.PRNGKey(2), training=True
+    )
+    assert "loss_semantic" in losses
+    assert np.isfinite(float(losses["loss_semantic"]))
