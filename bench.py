@@ -59,6 +59,8 @@ def bench_sdxl(steps_full=50):
     # async tunnel; one compiled program instead
     params = jax.jit(unet.init)(jax.random.PRNGKey(0), lat[:1], jnp.zeros((1,)),
                                 ctx[:1], pooled[:1], tids[:1])
+    # serve in bf16: halves HBM and matches the bf16 compute path
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     sched = make_scheduler("scaled_linear")
     ts, sigmas = euler_sigmas(sched, steps_full)
     ts_j = jnp.asarray(ts, jnp.float32)
@@ -66,7 +68,7 @@ def bench_sdxl(steps_full=50):
 
     def make_runner(k):
         @jax.jit
-        def run(latents):
+        def run(params, latents):
             def body(l, i):
                 x = l / jnp.sqrt(sig_j[i] ** 2 + 1.0)
                 x2 = jnp.concatenate([x, x], axis=0)
@@ -88,20 +90,22 @@ def bench_sdxl(steps_full=50):
     def run_k(k):
         if k not in probes:
             probes[k] = make_runner(k)
-        return probes[k](lat)
+        return probes[k](params, lat)
 
     per_step = _diff_time(run_k, 2, 10, lambda o: np.asarray(o[0, ::64, ::64, 0]).sum())
     t_denoise = per_step * steps_full
 
     vae = VAEDecoder(dtype=jnp.bfloat16)
     vparams = jax.jit(vae.init)(jax.random.PRNGKey(1), lat)
-    dec = jax.jit(lambda l: vae.apply(vparams, l))
+    vparams = jax.tree.map(lambda x: x.astype(jnp.bfloat16), vparams)
+    dec = jax.jit(lambda vp, l: vae.apply(vp, l))
 
     def vae_k(k):
         out = lat
         for _ in range(k):
-            out = dec(out)[..., :4] * 0.0 + lat  # keep shapes; force k decodes
-        return dec(out)
+            img = dec(vparams, out)
+            out = lat + jnp.mean(img).astype(lat.dtype) * 0.0  # chain dep
+        return dec(vparams, out)
 
     t_vae = _diff_time(vae_k, 0, 2, lambda o: np.asarray(o[0, ::256, ::256, 0]).sum())
     return (t_denoise + t_vae) / B
@@ -119,15 +123,16 @@ def bench_sam():
     pts = jnp.tile(jnp.asarray([[10.0, 10.0], [1014, 10], [10, 1014], [1014, 1014]])[None], (B, 1, 1))
     lbl = jnp.ones((B, 4), jnp.int32)
     params = jax.jit(sam.init)(jax.random.PRNGKey(0), imgs, pts, lbl)
-    fwd = jax.jit(lambda im: sam.apply(params, im, pts, lbl)[0])
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    fwd = jax.jit(lambda p, im: sam.apply(p, im, pts, lbl)[0])
 
     def run_k(k):
         im = imgs
         out = None
         for _ in range(k):
-            out = fwd(im)
-            im = imgs + out[:, :1, :1, :1024].reshape(B, 1, 1024, 1)[:, :, :1, :] * 0  # chain dep
-        return fwd(im)
+            out = fwd(params, im)
+            im = imgs + out[:, :1, :1, :1].reshape(B, 1, 1, 1) * 0  # chain dep
+        return fwd(params, im)
 
     t = _diff_time(run_k, 0, 3, lambda o: np.asarray(o[0, 0, ::8, ::8]).sum())
     return t / B
@@ -143,15 +148,15 @@ def bench_clip():
     vision, _ = build_clip("ViT-L/14")
     imgs = jnp.zeros((B, 224, 224, 3), jnp.float32)
     params = jax.jit(vision.init)(jax.random.PRNGKey(0), imgs)
-    fwd = jax.jit(lambda im: vision.apply(params, preprocess_images(im)))
+    fwd = jax.jit(lambda p, im: vision.apply(p, preprocess_images(im)))
 
     def run_k(k):
         im = imgs
         out = None
         for _ in range(k):
-            out = fwd(im)
+            out = fwd(params, im)
             im = imgs + out[:, 0].reshape(B, 1, 1, 1) * 0
-        return fwd(im)
+        return fwd(params, im)
 
     t = _diff_time(run_k, 0, 4, lambda o: np.asarray(o[:, 0]).sum())
     return t / B

@@ -114,3 +114,27 @@ class CommonMetricPrinter:
         if lr is not None:
             parts.append(f"lr: {lr:.3g}")
         logger.info("  ".join(p for p in parts if p))
+
+
+class TensorboardWriter:
+    """TensorboardX writer parity (utils/events.py TensorboardXWriter;
+    enabled in BSGAL train_net). Uses tf.summary (tensorflow is in-image);
+    no-ops gracefully if unavailable."""
+
+    def __init__(self, log_dir: str):
+        try:
+            import tensorflow as tf  # noqa: F401
+
+            self._tf = tf
+            self._writer = tf.summary.create_file_writer(log_dir)
+        except Exception as e:  # pragma: no cover
+            logger.warning("tensorboard unavailable: %s", e)
+            self._writer = None
+
+    def write(self, storage: EventStorage) -> None:
+        if self._writer is None:
+            return
+        with self._writer.as_default():
+            for k, h in storage.histories().items():
+                self._tf.summary.scalar(k, h.latest, step=storage.iter)
+        self._writer.flush()

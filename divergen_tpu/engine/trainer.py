@@ -40,11 +40,30 @@ from .train_loop import TrainState, create_train_state
 logger = logging.getLogger(__name__)
 
 
+def load_fed_weight(cfg):
+    """freq_weight = image_count ** FED_LOSS_FREQ_WEIGHT per class
+    (divergen/modeling/utils.py:7-14 load_class_freq)."""
+    import json
+
+    path = cfg.MODEL.ROI_BOX_HEAD.CAT_FREQ_PATH
+    if not (cfg.MODEL.ROI_BOX_HEAD.USE_FED_LOSS and path and os.path.exists(path)):
+        return None
+    with open(path) as f:
+        info = sorted(json.load(f), key=lambda c: c["id"])
+    counts = np.array([c["image_count"] for c in info], np.float32)
+    w = counts ** cfg.MODEL.ROI_BOX_HEAD.FED_LOSS_FREQ_WEIGHT
+    n = cfg.MODEL.ROI_HEADS.NUM_CLASSES
+    if len(w) < n:
+        w = np.concatenate([w, np.ones(n - len(w), np.float32)])
+    return jnp.asarray(w[:n])
+
+
 def make_paste_train_step(model, optimizer, cfg):
     """step(state, batch, rng) with in-graph compositing before the fwd/bwd."""
     ema_decay = cfg.MODEL.MODEL_EMA
     mode = cfg.INPUT.CP_METHOD
     use_paste = cfg.INPUT.USE_COPY_PASTE
+    fed_weight = load_fed_weight(cfg)
 
     def composite(batch):
         def one(s):
@@ -80,7 +99,8 @@ def make_paste_train_step(model, optimizer, cfg):
         else:
             images, gt = batch["image"], batch["gt"]
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, images, batch["image_size"], gt, rng, batch.get("fed_weight")
+            state.params, images, batch["image_size"], gt, rng,
+            batch.get("fed_weight", fed_weight),
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

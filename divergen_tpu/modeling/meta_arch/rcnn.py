@@ -43,6 +43,7 @@ class CustomRCNN(nn.Module):
     backbone_norm: str = "FrozenBN"
     compute_dtype: Any = jnp.bfloat16
     swin_size: str = "T"
+    roi_head_name: str = "DeticCascadeROIHeads"
     remat_backbone: bool = False
 
     def setup(self):
@@ -96,7 +97,12 @@ class CustomRCNN(nn.Module):
         self.centernet_head = CenterNetHead(
             self.centernet_cfg, dtype=self.compute_dtype, name="centernet_head"
         )
-        self.roi_heads = CascadeROIHeads(self.roi_cfg, dtype=self.compute_dtype, name="roi_heads")
+        if self.roi_head_name == "CustomRes5ROIHeads":
+            from ..roi_heads.res5_roi_heads import Res5ROIHeads
+
+            self.roi_heads = Res5ROIHeads(self.roi_cfg, dtype=self.compute_dtype, name="roi_heads")
+        else:
+            self.roi_heads = CascadeROIHeads(self.roi_cfg, dtype=self.compute_dtype, name="roi_heads")
 
     def _features(self, images: Array) -> Dict[str, Array]:
         mean = jnp.asarray(self.pixel_mean, jnp.float32)
@@ -215,6 +221,7 @@ def build_model(cfg) -> CustomRCNN:
         backbone_name=backbone,
         fpn_in_features=fpn_in,
         fpn_out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
+        roi_head_name=cfg.MODEL.ROI_HEADS.NAME,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         backbone_norm=cfg.MODEL.RESNETS.NORM,

@@ -123,3 +123,20 @@ def test_checkpoint_roundtrip(tmp_path):
     # resume=False keeps the template
     same, it0 = ck.resume_or_load(template, resume=False)
     assert it0 == 0 and float(np.sum(same["params"]["w"])) == 0.0
+
+
+def test_load_fed_weight(tmp_path):
+    import json
+
+    from divergen_tpu.engine.trainer import load_fed_weight
+
+    info = [{"id": 1, "image_count": 100}, {"id": 2, "image_count": 4}]
+    p = tmp_path / "cat_info.json"
+    p.write_text(json.dumps(info))
+    cfg = get_cfg()
+    cfg.MODEL.ROI_BOX_HEAD.CAT_FREQ_PATH = str(p)
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 3  # padded with ones
+    w = load_fed_weight(cfg)
+    np.testing.assert_allclose(np.asarray(w), [10.0, 2.0, 1.0])
+    cfg.MODEL.ROI_BOX_HEAD.CAT_FREQ_PATH = ""
+    assert load_fed_weight(cfg) is None

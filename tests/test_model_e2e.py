@@ -159,3 +159,25 @@ def test_refine_mask_with_semantic_loss():
     )
     assert "loss_semantic" in losses
     assert np.isfinite(float(losses["loss_semantic"]))
+
+
+def test_res5_roi_heads_train_and_infer():
+    cfg = small_cfg()
+    cfg.MODEL.ROI_HEADS.NAME = "CustomRes5ROIHeads"
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p4"]
+    model = build_model(cfg)
+    rng = np.random.RandomState(5)
+    images = jnp.array(rng.rand(1, 128, 128, 3).astype(np.float32) * 255)
+    sizes = jnp.array([[128, 128]])
+    gt = synth_gt(rng, 1, 8, 8)
+    params = model.init(
+        jax.random.PRNGKey(0), images, sizes, gt=gt, rng=jax.random.PRNGKey(1), training=True
+    )
+    losses = model.apply(
+        params, images, sizes, gt=gt, rng=jax.random.PRNGKey(2), training=True
+    )
+    assert "loss_cls" in losses and "loss_mask" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    dets = model.apply(params, images, sizes, training=False)
+    assert dets["boxes"].shape[2] == 4
