@@ -41,7 +41,7 @@ def _diff_time(run_k, k_small, k_big, probe):
     return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
 
-def bench_sdxl(steps_full=50):
+def bench_sdxl(steps_full=50, B=4):
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +49,6 @@ def bench_sdxl(steps_full=50):
     from divergen_tpu.pipeline.generation.unet import UNetSDXL
     from divergen_tpu.pipeline.generation.vae import VAEDecoder
 
-    B = 1
     unet = UNetSDXL(dtype=jnp.bfloat16)
     lat = jnp.zeros((B, 128, 128, 4), jnp.float32)
     ctx = jnp.zeros((2 * B, 77, 2048), jnp.bfloat16)
@@ -111,13 +110,12 @@ def bench_sdxl(steps_full=50):
     return (t_denoise + t_vae) / B
 
 
-def bench_sam():
+def bench_sam(B=4):
     import jax
     import jax.numpy as jnp
 
     from divergen_tpu.pipeline.segmentation.sam import SAM
 
-    B = 1
     sam = SAM.vit_h(dtype=jnp.bfloat16)
     imgs = jnp.zeros((B, 1024, 1024, 3), jnp.float32)
     pts = jnp.tile(jnp.asarray([[10.0, 10.0], [1014, 10], [10, 1014], [1014, 1014]])[None], (B, 1, 1))
@@ -220,7 +218,7 @@ def main():
                 "metric": "gen_filter_paste_instances_per_hr_per_chip",
                 "value": round(rate_hr, 1),
                 "unit": (
-                    f"inst/hr (SDXL-1024²-50step {t_gen:.2f}s + SAM-H {t_sam:.3f}s "
+                    f"inst/hr (batch-4 SDXL-1024²-50step {t_gen:.2f}s + SAM-H {t_sam:.3f}s "
                     f"+ CLIP-L {t_clip:.4f}s + paste {t_paste * 1e3:.2f}ms per inst)"
                 ),
                 "vs_baseline": round(rate_hr / 2000.0, 3),

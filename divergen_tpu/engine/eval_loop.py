@@ -16,7 +16,7 @@ import numpy as np
 
 from ..data import DatasetCatalog, MetadataCatalog
 from ..data.dataset_mapper import DatasetMapper
-from ..evaluation.lvis_evaluator import CustomCOCOEvaluator, LVISEvaluator
+from ..evaluation.lvis_evaluator import CustomCOCOEvaluator, LVISEvaluator, OIDEvaluator
 from ..modeling.meta_arch.rcnn import build_model
 from .checkpoint import Checkpointer
 from .train_loop import TrainState
@@ -30,6 +30,8 @@ def build_evaluator(cfg, dataset_name: str):
         return LVISEvaluator(dataset_name)
     if etype in ("coco", "coco_generalized"):
         return CustomCOCOEvaluator(dataset_name)
+    if etype == "oid":
+        return OIDEvaluator(dataset_name)
     raise NotImplementedError(etype)
 
 
@@ -101,3 +103,49 @@ def do_test(cfg, model=None, state: Optional[TrainState] = None, resume: bool = 
         )
         logger.info("results[%s] = %s", name, results[name])
     return results
+
+
+def inference_on_dataset_exp(model, params, cfg, dataset_name: str, out_dir: str,
+                             batch_size: int = 8, max_images: Optional[int] = None) -> Dict:
+    """Experimental-analysis variant (divergen/evaluation/evaluator.py:221-380
+    inference_on_dataset_exp: enables roi_heads.save_feature and dumps
+    per-image ROI outputs): runs with return_logits and writes per-image
+    .npz (boxes/scores/classes/logits) next to the metrics."""
+    import os
+
+    from ..evaluation.lvis_evaluator import LVISEvaluatorWithLogits
+
+    os.makedirs(out_dir, exist_ok=True)
+    dataset = DatasetCatalog.get(dataset_name)
+    if max_images:
+        dataset = dataset[:max_images]
+    mapper = DatasetMapper(cfg, is_train=False)
+
+    @jax.jit
+    def infer(params, images, sizes):
+        return model.apply(params, images, sizes, training=False, return_logits=True)
+
+    evaluator = LVISEvaluatorWithLogits(dataset_name, logits_dir=out_dir)
+    rng = np.random.default_rng(0)
+    for ofs in range(0, len(dataset), batch_size):
+        recs = dataset[ofs : ofs + batch_size]
+        samples = []
+        for r in recs:
+            s = mapper(r, rng)
+            s["orig_height"] = r.get("height")
+            s["orig_width"] = r.get("width")
+            samples.append(s)
+        pad = batch_size - len(samples)
+        images = np.stack([s["image"] for s in samples] + [samples[-1]["image"]] * pad)
+        sizes = np.stack([s["image_size"] for s in samples] + [samples[-1]["image_size"]] * pad)
+        out = jax.device_get(infer(params, jnp.asarray(images), jnp.asarray(sizes)))
+        evaluator.process(samples, out)
+        for b, s in enumerate(samples):
+            valid = np.asarray(out["valid"][b])
+            np.savez_compressed(
+                os.path.join(out_dir, f"det_{int(s['image_id'])}.npz"),
+                boxes=np.asarray(out["boxes"][b])[valid],
+                scores=np.asarray(out["scores"][b])[valid],
+                classes=np.asarray(out["classes"][b])[valid],
+            )
+    return evaluator.evaluate()

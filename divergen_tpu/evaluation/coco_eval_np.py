@@ -95,7 +95,9 @@ class DetEval:
         img_infos: Optional[Dict] = None,
         max_dets: int = 300,
         category_ids: Optional[Sequence[int]] = None,
+        iou_thrs: Optional[np.ndarray] = None,
     ):
+        self.iou_thrs = np.asarray(iou_thrs) if iou_thrs is not None else IOU_THRS
         self.iou_type = iou_type
         self.lvis = lvis_mode
         self.max_dets = max_dets
@@ -176,17 +178,17 @@ class DetEval:
                 iscrowd,
             )
 
-        T, D, G = len(IOU_THRS), len(dets), len(gts)
+        T, D, G = len(self.iou_thrs), len(dets), len(gts)
         from ..native import greedy_match as native_match
 
-        native = native_match(ious, g_ignore, iscrowd, IOU_THRS) if D and G else None
+        native = native_match(ious, g_ignore, iscrowd, self.iou_thrs) if D and G else None
         if native is not None:
             dt_matched, dt_ignore = native
         else:
             dt_matched = np.zeros((T, D), np.int64)  # 0 = unmatched, else gt idx+1
             dt_ignore = np.zeros((T, D), bool)
             gt_matched = np.zeros((T, G), bool)
-            for t, thr in enumerate(IOU_THRS):
+            for t, thr in enumerate(self.iou_thrs):
                 for di in range(D):
                     best = -1
                     best_iou = min(thr, 1 - 1e-10)
@@ -226,7 +228,7 @@ class DetEval:
 
     # ---------------- accumulate ----------------
     def accumulate(self) -> Dict[str, np.ndarray]:
-        T, R = len(IOU_THRS), len(REC_THRS)
+        T, R = len(self.iou_thrs), len(REC_THRS)
         K = len(self.cat_ids)
         A = len(AREA_RANGES)
         precision = -np.ones((T, R, K, A))
@@ -285,7 +287,9 @@ class DetEval:
 
         res["AP"] = ap()
         res["AP50"] = ap(t_slice=slice(0, 1))
-        res["AP75"] = ap(t_slice=slice(5, 6))
+        res["AP75"] = (
+            ap(t_slice=slice(5, 6)) if len(self.iou_thrs) > 5 else float("nan")
+        )
         res["APs"] = ap(area="small")
         res["APm"] = ap(area="medium")
         res["APl"] = ap(area="large")

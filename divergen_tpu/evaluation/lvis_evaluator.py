@@ -246,3 +246,45 @@ def per_class_ap_table(ev, class_names: Optional[List[str]] = None, cols: int = 
         rows.append(f"{name}: {100 * ap:.1f}" if ap == ap else f"{name}: nan")
     lines = ["  ".join(rows[i : i + cols]) for i in range(0, len(rows), cols)]
     return "\n".join(lines)
+
+
+class OIDEvaluator(LVISEvaluator):
+    """OpenImages challenge metric (divergen/evaluation/oideval.py:79-698):
+    AP@0.5 only, federated per-image verified labels (pos = gt categories,
+    neg = image-level negative labels), group-of boxes as crowd."""
+
+    def __init__(self, dataset_name: str, tasks=("bbox",), max_dets: int = 300):
+        super().__init__(dataset_name, tasks, max_dets)
+
+    def evaluate(self):
+        data = self._gt_data
+        gt_records = []
+        for a in data["annotations"]:
+            gt_records.append(
+                {
+                    "image_id": a["image_id"],
+                    "category_id": a["category_id"],
+                    "bbox": a["bbox"],
+                    "area": a.get("area", a["bbox"][2] * a["bbox"][3]),
+                    # group-of boxes absorb detections like crowds
+                    "iscrowd": a.get("iscrowd", 0) or a.get("IsGroupOf", 0),
+                }
+            )
+        img_infos = {
+            img["id"]: {
+                "neg_category_ids": img.get("neg_category_ids", []),
+                "pos_category_ids": img.get("pos_category_ids", []),
+            }
+            for img in data["images"]
+        }
+        cat_ids = [c["id"] for c in data["categories"]]
+        ev = DetEval(
+            gt_records, self._predictions, iou_type="bbox", lvis_mode=True,
+            img_infos=img_infos, max_dets=self.max_dets, category_ids=cat_ids,
+            iou_thrs=np.array([0.5]),
+        )
+        ev.evaluate()
+        ev.accumulate()
+        res = ev.summarize()
+        logger.info("%s OID AP50: %s", self.dataset_name, res["AP50"])
+        return {"bbox": res}

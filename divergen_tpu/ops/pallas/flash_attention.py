@@ -6,10 +6,12 @@ the SDXL UNet cross/self attention. The reference runs cuDNN softmax
 attention via torch; here it is a single fused Pallas kernel — online
 softmax over K/V tiles so the (S, S) score matrix never hits HBM.
 
-Layout: (batch*heads, seq, head_dim). Grid walks (bh, q_tile); the kernel
-loops K/V tiles with a fori_loop carrying running max / normalizer in VMEM
-scratch. Bias (e.g. Swin relative position) is an optional (bh, S, S)
-operand streamed per tile.
+Layout: (batch*heads, seq, head_dim). Grid is (bh, q_tile, k_tile) with the
+K dimension innermost and marked "arbitrary": VMEM scratch (running max /
+normalizer / accumulator) persists across k steps, so only one
+(block_q, d) + (block_k, d) tile pair is resident at a time — VMEM stays
+bounded for any sequence length (the VAE's 16384-token single-head
+attention included; an all-resident K/V layout OOMs scoped vmem there).
 """
 from __future__ import annotations
 
@@ -25,63 +27,66 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, kv_len, block_k):
-    # q_ref: (1, block_q, d), k_ref/v_ref: (1, kv_len, d), o_ref: (1, block_q, d)
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, num_kv):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
     q = q_ref[0].astype(jnp.float32) * scale
-    block_q, d = q.shape
-    num_kv = kv_len // block_k
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+    m_prev = m_scr[:, 0]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    p = jnp.exp(s - m_cur[:, None])
+    alpha = jnp.exp(m_prev - m_cur)
+    l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
+    acc_scr[:] = acc_scr[:] * alpha[:, None] + jnp.dot(
+        p, v, preferred_element_type=jnp.float32
+    )
+    m_scr[:, 0] = m_cur
 
-    m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-    l_scr[:] = jnp.zeros_like(l_scr)
-    acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    def body(i, _):
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
-        m_prev = m_scr[:, 0]
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
-        p = jnp.exp(s - m_cur[:, None])
-        alpha = jnp.exp(m_prev - m_cur)
-        l_new = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
-        acc_scr[:] = acc_scr[:] * alpha[:, None] + jnp.dot(
-            p, v, preferred_element_type=jnp.float32
-        )
-        m_scr[:, 0] = m_cur
-        l_scr[:, 0] = l_new
-        return 0
-
-    jax.lax.fori_loop(0, num_kv, body, 0)
-    o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:, 0], 1e-30)[:, None]).astype(o_ref.dtype)
+    @pl.when(j == num_kv - 1)
+    def _():
+        o_ref[0] = (
+            acc_scr[:] / jnp.maximum(l_scr[:, 0], 1e-30)[:, None]
+        ).astype(o_ref.dtype)
 
 
-def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, kv_len, block_k):
+def _attn_bias_kernel(
+    q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, num_kv
+):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
     q = q_ref[0].astype(jnp.float32) * scale
-    num_kv = kv_len // block_k
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b_ref[0].astype(jnp.float32)
+    m_prev = m_scr[:, 0]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    p = jnp.exp(s - m_cur[:, None])
+    alpha = jnp.exp(m_prev - m_cur)
+    l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
+    acc_scr[:] = acc_scr[:] * alpha[:, None] + jnp.dot(
+        p, v, preferred_element_type=jnp.float32
+    )
+    m_scr[:, 0] = m_cur
 
-    m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-    l_scr[:] = jnp.zeros_like(l_scr)
-    acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    def body(i, _):
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        bias = b_ref[0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + bias
-        m_prev = m_scr[:, 0]
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
-        p = jnp.exp(s - m_cur[:, None])
-        alpha = jnp.exp(m_prev - m_cur)
-        l_new = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
-        acc_scr[:] = acc_scr[:] * alpha[:, None] + jnp.dot(
-            p, v, preferred_element_type=jnp.float32
-        )
-        m_scr[:, 0] = m_cur
-        l_scr[:, 0] = l_new
-        return 0
-
-    jax.lax.fori_loop(0, num_kv, body, 0)
-    o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:, 0], 1e-30)[:, None]).astype(o_ref.dtype)
+    @pl.when(j == num_kv - 1)
+    def _():
+        o_ref[0] = (
+            acc_scr[:] / jnp.maximum(l_scr[:, 0], 1e-30)[:, None]
+        ).astype(o_ref.dtype)
 
 
 def _pad_to(x: Array, axis: int, multiple: int, value: float = 0.0) -> Array:
@@ -119,6 +124,11 @@ def flash_attention(
     scale = 1.0 / math.sqrt(d)
     block_q = min(block_q, max(128, 1 << (s_q - 1).bit_length()))
     block_k = min(block_k, max(128, 1 << (s_k - 1).bit_length()))
+    # bound VMEM: (block_q + 2*block_k) * d tiles + f32 accumulator
+    while d * (block_q + 2 * block_k) * 4 + block_q * d * 4 > 8 * 2**20 and block_k > 128:
+        block_k //= 2
+        if block_q > 128:
+            block_q //= 2
 
     qp = _pad_to(q, 1, block_q)
     kp = _pad_to(k, 1, block_k)
@@ -131,20 +141,24 @@ def flash_attention(
         bias = jnp.broadcast_to(bias, (bh, s_q, s_k))
         bias = _pad_to(_pad_to(bias, 2, block_k, NEG_INF), 1, block_q)
 
-    grid = (bh, sq_p // block_q)
-    common = dict(scale=scale, kv_len=sk_p, block_k=block_k)
+    num_kv = sk_p // block_k
+    grid = (bh, sq_p // block_q, num_kv)
+    common = dict(scale=scale, num_kv=num_kv)
     scratch = [
         pltpu.VMEM((block_q, 1), jnp.float32),
         pltpu.VMEM((block_q, 1), jnp.float32),
         pltpu.VMEM((block_q, d), jnp.float32),
     ]
-    q_spec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, sk_p, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary")
+    )
 
     if bias is not None:
         b_spec = pl.BlockSpec(
-            (1, block_q, sk_p), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, block_q, block_k), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM
         )
         out = pl.pallas_call(
             functools.partial(_attn_bias_kernel, **common),
@@ -153,6 +167,7 @@ def flash_attention(
             in_specs=[q_spec, kv_spec, kv_spec, b_spec],
             out_specs=out_spec,
             scratch_shapes=scratch,
+            compiler_params=params,
         )(qp, kp, vp, bias)
     else:
         out = pl.pallas_call(
@@ -162,6 +177,7 @@ def flash_attention(
             in_specs=[q_spec, kv_spec, kv_spec],
             out_specs=out_spec,
             scratch_shapes=scratch,
+            compiler_params=params,
         )(qp, kp, vp)
     return out[:, :s_q, :]
 

@@ -140,3 +140,23 @@ def test_print_csv_format_and_per_class_table():
     assert "copypaste: Task: bbox" in out and "100.0000" in out
     table = per_class_ap_table(ev, class_names=["thing"])
     assert "thing: 100.0" in table
+
+
+def test_oid_evaluator_protocol():
+    # AP50-only, group-of absorbs, federated ignore via image labels
+    from divergen_tpu.evaluation.coco_eval_np import DetEval
+
+    gts = [_gt(1, 1, [0, 0, 50, 50])]
+    dets = [
+        _det(1, 1, [0, 0, 48, 52], 0.9),   # IoU ~0.88 → TP at 0.5
+        _det(2, 1, [0, 0, 50, 50], 0.95),  # unverified image → ignored
+    ]
+    infos = {1: {"neg_category_ids": [], "pos_category_ids": [1]},
+             2: {"neg_category_ids": [], "pos_category_ids": []}}
+    ev = DetEval(gts, dets, lvis_mode=True, img_infos=infos,
+                 iou_thrs=np.array([0.5]))
+    ev.evaluate()
+    ev.accumulate()
+    res = ev.summarize()
+    assert res["AP50"] == pytest.approx(1.0)
+    assert np.isnan(res["AP75"])  # single-threshold protocol
