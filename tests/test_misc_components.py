@@ -1,0 +1,53 @@
+"""comm helpers, Poisson blend, BiFPN."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_comm_world1_degradation():
+    from divergen_tpu.utils import comm
+
+    assert comm.get_world_size() == 1
+    assert comm.is_main_process()
+    comm.synchronize()  # no-op
+    assert comm.all_gather({"a": 1}) == [{"a": 1}]
+    assert comm.gather([1, 2]) == [[1, 2]]
+    assert isinstance(comm.shared_random_seed(), int)
+    assert comm.reduce_dict({"x": 2.0}) == {"x": 2.0}
+
+
+def test_poisson_blend_preserves_boundary():
+    from divergen_tpu.data.poisson_blend import blend_image_host, poisson_edit
+
+    rng = np.random.RandomState(0)
+    tgt = np.full((24, 24, 3), 100.0, np.float32)
+    src = np.full((24, 24, 3), 200.0, np.float32)
+    mask = np.zeros((24, 24), np.uint8)
+    mask[8:16, 8:16] = 1
+    out = poisson_edit(src, tgt, mask)
+    # outside mask untouched
+    np.testing.assert_array_equal(out[0, 0], tgt[0, 0])
+    # constant-gradient source on constant target → region stays near target
+    # (Poisson transfers gradients, not absolute colors)
+    assert abs(float(out[11, 11, 0]) - 100.0) < 2.0
+    # basic mode pastes absolute colors
+    basic = blend_image_host(tgt, src, mask, "basic")
+    assert basic[11, 11, 0] == 200.0
+
+
+def test_bifpn_shapes():
+    from divergen_tpu.modeling.backbone.bifpn import BiFPN
+
+    feats = {
+        "res3": jnp.zeros((1, 32, 32, 24)),
+        "res4": jnp.zeros((1, 16, 16, 48)),
+        "res5": jnp.zeros((1, 8, 8, 96)),
+    }
+    m = BiFPN(out_channels=32, num_layers=2)
+    params = m.init(jax.random.PRNGKey(0), feats)
+    out = m.apply(params, feats)
+    assert sorted(out) == ["p3", "p4", "p5", "p6", "p7"]
+    assert out["p3"].shape == (1, 32, 32, 32)
+    assert out["p7"].shape == (1, 2, 2, 32)
+    assert all(np.isfinite(np.asarray(v)).all() for v in out.values())
