@@ -41,7 +41,7 @@ def _diff_time(run_k, k_small, k_big, probe):
     return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
 
-def bench_sdxl(steps_full=50, B=4):
+def bench_sdxl(steps_full=50, B=1):
     import jax
     import jax.numpy as jnp
 
@@ -218,7 +218,7 @@ def main():
                 "metric": "gen_filter_paste_instances_per_hr_per_chip",
                 "value": round(rate_hr, 1),
                 "unit": (
-                    f"inst/hr (batch-4 SDXL-1024²-50step {t_gen:.2f}s + SAM-H {t_sam:.3f}s "
+                    f"inst/hr (SDXL-1024²-50step {t_gen:.2f}s + SAM-H {t_sam:.3f}s "
                     f"+ CLIP-L {t_clip:.4f}s + paste {t_paste * 1e3:.2f}ms per inst)"
                 ),
                 "vs_baseline": round(rate_hr / 2000.0, 3),

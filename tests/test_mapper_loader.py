@@ -205,3 +205,46 @@ def test_color_jitter_applies_inside_masks(image_dataset):
     out = m(image_dataset[0], np.random.default_rng(11))
     # at least sometimes changes pixels, and only meaningfully near instances
     assert out["image"].shape == base["image"].shape
+
+
+def test_custom_dataset_mapper_ann_types(image_dataset):
+    from divergen_tpu.data.custom_dataset_mapper import CustomDatasetMapper
+
+    cfg = small_cfg()
+    cfg.DATALOADER.DATASET_ANN = ["box", "image"]
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 5
+    m = CustomDatasetMapper(cfg, True)
+    # box dataset: instances kept
+    s0 = m(dict(image_dataset[0], dataset_source=0), np.random.default_rng(0))
+    assert s0["ann_type"] == "box" and s0["gt"]["valid"].sum() >= 1
+    # image dataset: labels only
+    s1 = m(dict(image_dataset[1], dataset_source=1), np.random.default_rng(0))
+    assert s1["ann_type"] == "image"
+    assert s1["gt"]["valid"].sum() == 0
+    assert s1["image_labels"].sum() >= 1
+
+
+def test_custom_dataset_mapper_tar(tmp_path, image_dataset):
+    import cv2
+    import io
+    import tarfile
+
+    from divergen_tpu.data.custom_dataset_mapper import CustomDatasetMapper
+    from divergen_tpu.data.tar_dataset import DiskTarDataset
+
+    tar_path = str(tmp_path / "cls.tar")
+    with tarfile.open(tar_path, "w") as tf:
+        img = (np.random.RandomState(0).rand(50, 60, 3) * 255).astype(np.uint8)
+        ok, buf = cv2.imencode(".jpg", img)
+        info = tarfile.TarInfo("x.jpg")
+        info.size = len(buf)
+        tf.addfile(info, io.BytesIO(buf.tobytes()))
+    cfg = small_cfg()
+    cfg.DATALOADER.DATASET_ANN = ["box", "image"]
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 5
+    m = CustomDatasetMapper(cfg, True, tar_dataset=DiskTarDataset([tar_path]))
+    rec = {"tar_index": 0, "image_id": 77, "dataset_source": 1, "pos_category_ids": [2]}
+    s = m(rec, np.random.default_rng(1))
+    assert s["image"].shape == (128, 128, 3)
+    assert s["image_labels"][2] == 1.0
+    assert s["gt"]["valid"].sum() == 0
