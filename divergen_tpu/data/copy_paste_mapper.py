@@ -130,6 +130,11 @@ class CopyPasteMapper:
 
         if method == "syn_copy" and self.pool is not None:
             patches = self.pool.make_paste_sample(rng, mp, sample_type=self.sample_type)
+            if self.cfg.INPUT.SEPARATE_SYN:
+                # synthetic instances get their own class ids (+num_classes,
+                # BSGAL custom_build_copypaste_mapper.py:505-508)
+                n_base = self.cfg.MODEL.ROI_HEADS.NUM_CLASSES // 2
+                patches["patch_classes"] = patches["patch_classes"] + n_base
         elif method == "self_copy" and self.dataset:
             patches = self._self_copy_patches(rng, mp, ps)
         else:

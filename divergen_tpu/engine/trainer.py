@@ -202,7 +202,26 @@ def do_train(cfg, resume: bool = False, max_steps: Optional[int] = None) -> Trai
         state = jax.tree.map(jnp.asarray, state_host)
     periodic = PeriodicCheckpointer(ckpt, cfg.SOLVER.CHECKPOINT_PERIOD, cfg.SOLVER.MAX_ITER)
 
-    step = make_paste_train_step(model, optimizer, cfg)
+    active = cfg.MODEL.ACTIVE.ENABLED
+    astate = None
+    decision_log = None
+    if active:
+        from ..active.bsgal import init_active_state, make_active_train_step
+
+        astate = init_active_state(params, queue_size=cfg.MODEL.ACTIVE.QUEUE_SIZE)
+        a_ckpt = Checkpointer(os.path.join(out_dir, "grad_bank"), max_to_keep=2)
+        a_host, a_it = a_ckpt.resume_or_load(jax.device_get(astate), resume=resume)
+        if a_it > 0:
+            astate = jax.tree.map(jnp.asarray, a_host)
+        step = make_active_train_step(model, optimizer, cfg)
+        # per-rank decision log (BSGAL custom_rcnn.py:610-686 paste_source/)
+        log_dir = os.path.join(out_dir, "paste_source")
+        os.makedirs(log_dir, exist_ok=True)
+        decision_log = open(
+            os.path.join(log_dir, f"rank_{jax.process_index()}.txt"), "a"
+        )
+    else:
+        step = make_paste_train_step(model, optimizer, cfg)
     storage = EventStorage(start_iter)
     writers = [CommonMetricPrinter(cfg.SOLVER.MAX_ITER), JSONWriter(os.path.join(out_dir, "metrics.json"))]
     rng = jax.random.PRNGKey(cfg.SEED + 1)
@@ -219,7 +238,30 @@ def do_train(cfg, resume: bool = False, max_steps: Optional[int] = None) -> Trai
             batch.pop("tfms", None)
             batch = {k: v for k, v in batch.items() if k != "image_ids"}
             storage.put_scalar("data_time", time.perf_counter() - t_data)
-            state, metrics = step(state, batch, rng)
+            if active:
+                # probe = the next real batch (ACTIVE_TEST 'select' pairing
+                # is the mapper's job; any real batch works as the default)
+                probe = next(data_iter)
+                probe.pop("tfms", None)
+                batch["probe"] = {
+                    "image": probe["image"],
+                    "image_size": probe["image_size"],
+                    "gt": probe["gt"],
+                }
+                state, astate, metrics = step(state, astate, batch, rng)
+                if decision_log is not None and ((it + 1) % max(cfg.MODEL.ACTIVE.LOG_PERIOD, 1) == 0 or it == start_iter):
+                    h = jax.device_get(
+                        {"sim": metrics["grad_sim"], "use": metrics["paste_used"],
+                         "thr": metrics["threshold"]}
+                    )
+                    decision_log.write(
+                        f"{it}\t{float(h['sim']):.6f}\t{int(h['use'])}\t{float(h['thr']):.6f}\n"
+                    )
+                    decision_log.flush()
+                if (it + 1) % cfg.MODEL.ACTIVE.BANK_CKPT_PERIOD == 0:
+                    a_ckpt.save(it + 1, jax.device_get(astate))
+            else:
+                state, metrics = step(state, batch, rng)
             if (it + 1) % 20 == 0 or it == start_iter:
                 host = jax.device_get(metrics)
                 if not np.isfinite(host["total_loss"]):
@@ -228,8 +270,17 @@ def do_train(cfg, resume: bool = False, max_steps: Optional[int] = None) -> Trai
                 for w in writers:
                     w.write(storage)
             periodic.step(it, state)
+            if cfg.TEST.EVAL_PERIOD > 0 and (it + 1) % cfg.TEST.EVAL_PERIOD == 0:
+                from .eval_loop import do_test
+
+                do_test(cfg, model=model, state=jax.device_get(state))
             storage.step()
             t_data = time.perf_counter()
+    ckpt.wait()  # orbax saves are async; make the final checkpoint durable
+    if active:
+        a_ckpt.wait()
+        if decision_log is not None:
+            decision_log.close()
     loader.stop()
     return state
 

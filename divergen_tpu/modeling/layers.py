@@ -51,7 +51,9 @@ def get_norm(norm: str, features: int) -> Optional[Callable]:
     if norm == "SyncBN" or norm == "BN":
         # Plain BN is hostile to pjit (cross-replica stats); the reference
         # only ever trains FrozenBN/GN configs, so BN maps to GN here.
-        return nn.GroupNorm(num_groups=32, epsilon=1e-5)
+        import math as _math
+
+        return nn.GroupNorm(num_groups=_math.gcd(32, features), epsilon=1e-5)
     raise ValueError(f"Unknown norm: {norm}")
 
 

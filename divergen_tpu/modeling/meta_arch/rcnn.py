@@ -228,3 +228,27 @@ def build_model(cfg) -> CustomRCNN:
         compute_dtype=jnp.bfloat16 if cfg.FP16 else jnp.float32,
         swin_size=swin_size,
     )
+
+
+def reset_cls_test(params, zs_weight, stages=3):
+    """Swap the zero-shot classifier vocabulary at test time
+    (divergen/modeling/utils.py:32 reset_cls_test; used per test set at
+    train_net.py:89-93). zs_weight: (zs_dim, num_classes) normalized CLIP
+    text embeddings. Returns updated params (pure — no module mutation)."""
+    import numpy as np
+
+    host = jax.device_get(params)
+
+    def visit(tree):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if "zs_weight" in v:
+                    assert np.shape(v["zs_weight"]) == np.shape(zs_weight), (
+                        np.shape(v["zs_weight"]), np.shape(zs_weight),
+                    )
+                    v["zs_weight"] = np.asarray(zs_weight, np.asarray(v["zs_weight"]).dtype)
+                else:
+                    visit(v)
+
+    visit(host)
+    return jax.tree.map(jnp.asarray, host)

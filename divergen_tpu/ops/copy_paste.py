@@ -42,10 +42,14 @@ def rasterize_patch(
     tgt_box: Array,  # (4,) x1,y1,x2,y2 in output coords
     out_hw: Tuple[int, int],
     flip: Array | None = None,  # () bool — horizontal flip
+    angle: Array | None = None,  # () radians, rotation about the box center
 ) -> Tuple[Array, Array]:
     """Inverse-warp a patch into a full-frame RGB + alpha layer.
 
-    Returns (rgb (H,W,3), alpha (H,W)) with alpha 0 outside the box.
+    Returns (rgb (H,W,3), alpha (H,W)) with alpha 0 outside the box. The
+    optional rotation covers T.RandomRotation / the inp-rotate augmentation
+    (custom_build_copypaste_mapper.py:111-240) — same inverse-warp, with the
+    normalized box coordinates rotated about (0.5, 0.5).
     """
     h, w = out_hw
     ph, pw, _ = patch.shape
@@ -56,9 +60,18 @@ def rasterize_patch(
     xs = (jnp.arange(w, dtype=jnp.float32) + 0.5 - x1) / bw
     if flip is not None:
         xs = jnp.where(flip, 1.0 - xs, xs)
+    if angle is not None:
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        u = xs[None, :] - 0.5
+        v = ys[:, None] - 0.5
+        xg = ca * u + sa * v + 0.5  # rotate sample grid (inverse warp)
+        yg = -sa * u + ca * v + 0.5
+    else:
+        xg = jnp.broadcast_to(xs[None, :], (h, w))
+        yg = jnp.broadcast_to(ys[:, None], (h, w))
     # to patch pixel coords (align_corners=False convention, like cv2.resize)
-    py = ys * ph - 0.5
-    px = xs * pw - 0.5
+    py = yg * ph - 0.5
+    px = xg * pw - 0.5
     y0 = jnp.floor(py)
     x0 = jnp.floor(px)
     ly = py - y0
@@ -69,16 +82,17 @@ def rasterize_patch(
     x1i = jnp.clip(x0i + 1, 0, pw - 1)
 
     def gather(yi, xi):
-        return patch[yi][:, xi]  # (H, W, 4)
+        flat = patch.reshape(-1, patch.shape[-1])
+        return flat[(yi * pw + xi).reshape(-1)].reshape(h, w, -1)
 
     v00 = gather(y0i, x0i)
     v01 = gather(y0i, x1i)
     v10 = gather(y1i, x0i)
     v11 = gather(y1i, x1i)
-    top = v00 * (1 - lx)[None, :, None] + v01 * lx[None, :, None]
-    bot = v10 * (1 - lx)[None, :, None] + v11 * lx[None, :, None]
-    out = top * (1 - ly)[:, None, None] + bot * ly[:, None, None]
-    inside = ((ys >= 0) & (ys < 1))[:, None] & ((xs >= 0) & (xs < 1))[None, :]
+    top = v00 * (1 - lx)[..., None] + v01 * lx[..., None]
+    bot = v10 * (1 - lx)[..., None] + v11 * lx[..., None]
+    out = top * (1 - ly)[..., None] + bot * ly[..., None]
+    inside = (yg >= 0) & (yg < 1) & (xg >= 0) & (xg < 1)
     rgb = out[..., :3]
     alpha = jnp.where(inside, out[..., 3], 0.0)
     return rgb, alpha
@@ -127,6 +141,7 @@ def paste_instances(
     mode: str = "basic",
     bbox_occluded_thr: float = 10.0,
     mask_occluded_thr: float = 300.0,
+    patch_angle: Array | None = None,  # (P,) radians
 ) -> Dict[str, Array]:
     """Sequentially paste P instances onto one sample. Static output
     capacity N+P; occluded dst instances are invalidated, not removed."""
@@ -134,15 +149,17 @@ def paste_instances(
     n, p = masks.shape[0], patches.shape[0]
     if patch_flip is None:
         patch_flip = jnp.zeros((p,), bool)
+    if patch_angle is None:
+        patch_angle = jnp.zeros((p,), jnp.float32)
 
     # Rasterize all P layers at once, then resolve occlusion in ONE pass:
     # sequential semantics are preserved exactly because patch k's final mask
     # is bin[k] minus the union of later patches, and dst masks lose the
     # union of all patches. This touches each mask once instead of carrying
     # (N+P, H, W) through a P-step scan — ~P× less HBM traffic.
-    rgbs, alphas = jax.vmap(lambda pc, tb, fl: rasterize_patch(pc, tb, (h, w), fl))(
-        patches, patch_boxes, patch_flip
-    )  # (P,H,W,3), (P,H,W)
+    rgbs, alphas = jax.vmap(
+        lambda pc, tb, fl, an: rasterize_patch(pc, tb, (h, w), fl, an)
+    )(patches, patch_boxes, patch_flip, patch_angle)  # (P,H,W,3), (P,H,W)
     bins = (alphas > MASK_THRESHOLD) & patch_valid[:, None, None]
 
     # suffix union: occ_after[k] = OR_{j>k} bins[j]
@@ -252,6 +269,7 @@ def paste_instances_boxframe(
     mode: str = "basic",
     bbox_occluded_thr: float = 10.0,
     mask_occluded_thr: float = 300.0,
+    patch_angle: Array | None = None,
 ) -> Dict[str, Array]:
     """Copy-paste with **box-frame** instance masks — the memory-light form
     the trainer uses (masks are O((N+P)·S²), never (N,H,W)). Same sequential
@@ -263,10 +281,12 @@ def paste_instances_boxframe(
     p = patches.shape[0]
     if patch_flip is None:
         patch_flip = jnp.zeros((p,), bool)
+    if patch_angle is None:
+        patch_angle = jnp.zeros((p,), jnp.float32)
 
-    rgbs, alphas = jax.vmap(lambda pc, tb, fl: rasterize_patch(pc, tb, (h, w), fl))(
-        patches, patch_boxes, patch_flip
-    )
+    rgbs, alphas = jax.vmap(
+        lambda pc, tb, fl, an: rasterize_patch(pc, tb, (h, w), fl, an)
+    )(patches, patch_boxes, patch_flip, patch_angle)
     bins = (alphas > MASK_THRESHOLD) & patch_valid[:, None, None]
 
     def suffix_body(carry, b):

@@ -194,3 +194,19 @@ def test_invalid_patch_is_noop():
     assert bool(out["valid"][0])
     assert not bool(out["valid"][1])
     np.testing.assert_array_equal(np.asarray(out["masks"][0]), masks[0])
+
+
+def test_rasterize_patch_rotation_90deg():
+    rng = np.random.RandomState(7)
+    patch = make_patch(rng, 16, 16, full=True)
+    rgb, alpha = rasterize_patch(
+        jnp.array(patch), jnp.array([8.0, 8.0, 24.0, 24.0]), (32, 32),
+        angle=jnp.float32(np.pi / 2),
+    )
+    # 90° rotation: output(y,x) samples patch at rotated coords; the square
+    # alpha support is invariant, rgb is the transposed/flipped patch
+    assert np.asarray(alpha[10:22, 10:22]).min() > 0.99
+    got = np.asarray(rgb[8:24, 8:24])
+    # inverse-warp by +90°: out(y, x) = patch(x, ph-1-y)
+    exp = np.flip(patch[..., :3].transpose(1, 0, 2), axis=1)
+    np.testing.assert_allclose(got[1:-1, 1:-1], exp[1:-1, 1:-1], atol=1.0)

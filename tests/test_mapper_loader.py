@@ -248,3 +248,19 @@ def test_custom_dataset_mapper_tar(tmp_path, image_dataset):
     assert s["image"].shape == (128, 128, 3)
     assert s["image_labels"][2] == 1.0
     assert s["gt"]["valid"].sum() == 0
+
+
+def test_inp_rotate(image_dataset):
+    from divergen_tpu.data.inp_rotate import inp_rotate_sample
+
+    cfg = small_cfg()
+    m = DatasetMapper(cfg, True)
+    s = m(image_dataset[0], np.random.default_rng(2))
+    n_valid = int(s["gt"]["valid"].sum())
+    out = inp_rotate_sample(s, np.random.default_rng(3), patch_size=32, max_pastes=4)
+    # originals invalidated, same count of rotated patch copies
+    assert int(out["gt"]["valid"].sum()) == 0
+    assert int(out["patch_valid"].sum()) == n_valid
+    assert np.abs(out["patch_angle"][out["patch_valid"]]).max() <= np.deg2rad(30) + 1e-6
+    # inpainted background differs from the original inside instance boxes
+    assert not np.array_equal(out["image"], s["image"])

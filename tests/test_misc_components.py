@@ -51,3 +51,14 @@ def test_bifpn_shapes():
     assert out["p3"].shape == (1, 32, 32, 32)
     assert out["p7"].shape == (1, 2, 2, 32)
     assert all(np.isfinite(np.asarray(v)).all() for v in out.values())
+
+
+def test_dla34_shapes():
+    from divergen_tpu.modeling.backbone.dla import DLA34
+
+    m = DLA34(out_features=("dla2", "dla3", "dla4", "dla5"))
+    x = jnp.zeros((1, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out["dla2"].shape == (1, 16, 16, 64)
+    assert out["dla5"].shape == (1, 2, 2, 512)

@@ -59,3 +59,48 @@ def test_truncate_tree():
     np.testing.assert_array_equal(b, [0, 1, 2, 5])  # first 3 classes + bg
     # unrelated heads untouched
     assert out["roi_heads"]["mask_head"]["kernel"].shape == (4, 6)
+
+
+def test_lvis_to_coco_results(tmp_path):
+    import json
+
+    from tools.lvis_to_coco_results import main as convert
+
+    (tmp_path / "lvis.json").write_text(json.dumps({
+        "categories": [
+            {"id": 1, "name": "banana", "synonyms": ["banana"]},
+            {"id": 2, "name": "weird_thing", "synonyms": ["weird_thing"]},
+        ]
+    }))
+    (tmp_path / "coco.json").write_text(json.dumps({
+        "categories": [{"id": 52, "name": "banana"}]
+    }))
+    (tmp_path / "res.json").write_text(json.dumps([
+        {"image_id": 1, "category_id": 1, "bbox": [0, 0, 5, 5], "score": 0.9},
+        {"image_id": 1, "category_id": 2, "bbox": [0, 0, 5, 5], "score": 0.8},
+    ]))
+    assert convert(["--lvis_json", str(tmp_path / "lvis.json"),
+                    "--coco_json", str(tmp_path / "coco.json"),
+                    "--results", str(tmp_path / "res.json"),
+                    "--out", str(tmp_path / "out.json")]) == 0
+    out = json.load(open(tmp_path / "out.json"))
+    assert len(out) == 1 and out[0]["category_id"] == 52
+
+
+def test_reset_cls_test():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from divergen_tpu.modeling.meta_arch.rcnn import reset_cls_test
+
+    params = {"params": {"roi_heads": {"box_predictor0": {"zs_weight": jnp.zeros((4, 3))},
+                                       "box_head0": {"fc1": {"kernel": jnp.ones((2, 2))}}}}}
+    new_w = np.arange(12, dtype=np.float32).reshape(4, 3)
+    out = reset_cls_test(params, new_w)
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["roi_heads"]["box_predictor0"]["zs_weight"]), new_w
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["roi_heads"]["box_head0"]["fc1"]["kernel"]), 1
+    )

@@ -142,3 +142,30 @@ def test_train_and_eval_e2e(tiny_lvis):
     assert "bbox" in r and "segm" in r
     for task in ("bbox", "segm"):
         assert set(r[task]) >= {"AP", "AP50", "AP75", "APr", "APc", "APf"}
+
+
+@pytest.mark.slow
+def test_bsgal_do_train_e2e(tiny_lvis):
+    tmp_path, jf, img_dir, pool = tiny_lvis
+    cfg = tiny_cfg(tmp_path, pool)
+    cfg.OUTPUT_DIR = str(tmp_path / "out_active")
+    cfg.INPUT.INST_POOL_ROOT = str(tmp_path)
+    cfg.MODEL.ACTIVE.ENABLED = True
+    cfg.MODEL.ACTIVE.THRESHOLD = -1e9  # always accept pastes
+    cfg.MODEL.ACTIVE.BANK_CKPT_PERIOD = 2
+    cfg.SOLVER.MAX_ITER = 2
+    cfg.SOLVER.CHECKPOINT_PERIOD = 2
+
+    from divergen_tpu.engine.trainer import do_train
+
+    state = do_train(cfg)
+    assert int(state.step) == 2
+    # grad bank checkpointed
+    from divergen_tpu.engine.checkpoint import Checkpointer
+
+    assert Checkpointer(os.path.join(cfg.OUTPUT_DIR, "grad_bank")).latest_step() == 2
+    # decision log written
+    log = os.path.join(cfg.OUTPUT_DIR, "paste_source", "rank_0.txt")
+    assert os.path.exists(log)
+    lines = open(log).read().strip().splitlines()
+    assert len(lines) >= 1 and lines[0].split("\t")[2] in ("0", "1")
