@@ -151,6 +151,7 @@ def make_active_train_step(model, optimizer, cfg) -> Callable:
                 s["gt"]["valid"], s["gt"]["instance_source"],
                 s["patches"], s["patch_boxes"], s["patch_classes"],
                 s["patch_valid"], s["patch_flip"], mode=acfg.cp_mode,
+                patch_angle=s.get("patch_angle"),
             )
 
         out = jax.vmap(one)({k: v for k, v in batch.items() if k != "probe"})

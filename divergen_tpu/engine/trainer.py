@@ -72,6 +72,7 @@ def make_paste_train_step(model, optimizer, cfg):
                 s["gt"]["valid"], s["gt"]["instance_source"],
                 s["patches"], s["patch_boxes"], s["patch_classes"],
                 s["patch_valid"], s["patch_flip"], mode=mode,
+                patch_angle=s.get("patch_angle"),
             )
 
         out = jax.vmap(one)(batch)

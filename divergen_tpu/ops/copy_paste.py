@@ -61,17 +61,42 @@ def rasterize_patch(
     if flip is not None:
         xs = jnp.where(flip, 1.0 - xs, xs)
     if angle is not None:
+        # rotated grid: full 2D sample coordinates (bigger gather)
         ca, sa = jnp.cos(angle), jnp.sin(angle)
         u = xs[None, :] - 0.5
         v = ys[:, None] - 0.5
         xg = ca * u + sa * v + 0.5  # rotate sample grid (inverse warp)
         yg = -sa * u + ca * v + 0.5
-    else:
-        xg = jnp.broadcast_to(xs[None, :], (h, w))
-        yg = jnp.broadcast_to(ys[:, None], (h, w))
-    # to patch pixel coords (align_corners=False convention, like cv2.resize)
-    py = yg * ph - 0.5
-    px = xg * pw - 0.5
+        py = yg * ph - 0.5
+        px = xg * pw - 0.5
+        y0 = jnp.floor(py)
+        x0 = jnp.floor(px)
+        ly, lx = py - y0, px - x0
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, ph - 1)
+        y1i = jnp.clip(y0i + 1, 0, ph - 1)
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, pw - 1)
+        x1i = jnp.clip(x0i + 1, 0, pw - 1)
+        flat = patch.reshape(-1, patch.shape[-1])
+
+        def gather(yi, xi):
+            return flat[(yi * pw + xi).reshape(-1)].reshape(h, w, -1)
+
+        v00 = gather(y0i, x0i)
+        v01 = gather(y0i, x1i)
+        v10 = gather(y1i, x0i)
+        v11 = gather(y1i, x1i)
+        top = v00 * (1 - lx)[..., None] + v01 * lx[..., None]
+        bot = v10 * (1 - lx)[..., None] + v11 * lx[..., None]
+        out = top * (1 - ly)[..., None] + bot * ly[..., None]
+        inside = (yg >= 0) & (yg < 1) & (xg >= 0) & (xg < 1)
+        rgb = out[..., :3]
+        alpha = jnp.where(inside, out[..., 3], 0.0)
+        return rgb, alpha
+
+    # axis-aligned fast path: separable row/col slices (~60x cheaper than the
+    # 2D gather; this is the hot per-step paste path)
+    py = ys * ph - 0.5
+    px = xs * pw - 0.5
     y0 = jnp.floor(py)
     x0 = jnp.floor(px)
     ly = py - y0
@@ -82,17 +107,16 @@ def rasterize_patch(
     x1i = jnp.clip(x0i + 1, 0, pw - 1)
 
     def gather(yi, xi):
-        flat = patch.reshape(-1, patch.shape[-1])
-        return flat[(yi * pw + xi).reshape(-1)].reshape(h, w, -1)
+        return patch[yi][:, xi]  # (H, W, 4)
 
     v00 = gather(y0i, x0i)
     v01 = gather(y0i, x1i)
     v10 = gather(y1i, x0i)
     v11 = gather(y1i, x1i)
-    top = v00 * (1 - lx)[..., None] + v01 * lx[..., None]
-    bot = v10 * (1 - lx)[..., None] + v11 * lx[..., None]
-    out = top * (1 - ly)[..., None] + bot * ly[..., None]
-    inside = (yg >= 0) & (yg < 1) & (xg >= 0) & (xg < 1)
+    top = v00 * (1 - lx)[None, :, None] + v01 * lx[None, :, None]
+    bot = v10 * (1 - lx)[None, :, None] + v11 * lx[None, :, None]
+    out = top * (1 - ly)[:, None, None] + bot * ly[:, None, None]
+    inside = ((ys >= 0) & (ys < 1))[:, None] & ((xs >= 0) & (xs < 1))[None, :]
     rgb = out[..., :3]
     alpha = jnp.where(inside, out[..., 3], 0.0)
     return rgb, alpha
@@ -149,17 +173,20 @@ def paste_instances(
     n, p = masks.shape[0], patches.shape[0]
     if patch_flip is None:
         patch_flip = jnp.zeros((p,), bool)
-    if patch_angle is None:
-        patch_angle = jnp.zeros((p,), jnp.float32)
 
     # Rasterize all P layers at once, then resolve occlusion in ONE pass:
     # sequential semantics are preserved exactly because patch k's final mask
     # is bin[k] minus the union of later patches, and dst masks lose the
     # union of all patches. This touches each mask once instead of carrying
     # (N+P, H, W) through a P-step scan — ~P× less HBM traffic.
-    rgbs, alphas = jax.vmap(
-        lambda pc, tb, fl, an: rasterize_patch(pc, tb, (h, w), fl, an)
-    )(patches, patch_boxes, patch_flip, patch_angle)  # (P,H,W,3), (P,H,W)
+    if patch_angle is None:
+        rgbs, alphas = jax.vmap(
+            lambda pc, tb, fl: rasterize_patch(pc, tb, (h, w), fl)
+        )(patches, patch_boxes, patch_flip)
+    else:
+        rgbs, alphas = jax.vmap(
+            lambda pc, tb, fl, an: rasterize_patch(pc, tb, (h, w), fl, an)
+        )(patches, patch_boxes, patch_flip, patch_angle)  # (P,H,W,3), (P,H,W)
     bins = (alphas > MASK_THRESHOLD) & patch_valid[:, None, None]
 
     # suffix union: occ_after[k] = OR_{j>k} bins[j]
@@ -281,12 +308,15 @@ def paste_instances_boxframe(
     p = patches.shape[0]
     if patch_flip is None:
         patch_flip = jnp.zeros((p,), bool)
-    if patch_angle is None:
-        patch_angle = jnp.zeros((p,), jnp.float32)
 
-    rgbs, alphas = jax.vmap(
-        lambda pc, tb, fl, an: rasterize_patch(pc, tb, (h, w), fl, an)
-    )(patches, patch_boxes, patch_flip, patch_angle)
+    if patch_angle is None:
+        rgbs, alphas = jax.vmap(
+            lambda pc, tb, fl: rasterize_patch(pc, tb, (h, w), fl)
+        )(patches, patch_boxes, patch_flip)
+    else:
+        rgbs, alphas = jax.vmap(
+            lambda pc, tb, fl, an: rasterize_patch(pc, tb, (h, w), fl, an)
+        )(patches, patch_boxes, patch_flip, patch_angle)
     bins = (alphas > MASK_THRESHOLD) & patch_valid[:, None, None]
 
     def suffix_body(carry, b):
