@@ -33,6 +33,7 @@ def get_cfg() -> ConfigNode:
     c.EVAL_PROPOSAL_AR = False
     c.EVAL_CAT_SPEC_AR = False
     c.IS_DEBUG = False
+    c.WITH_IMAGE_LABELS = False  # co-train with image-labeled data (reference config.py:7)
 
     # ---------------- MODEL ----------------
     m = c.MODEL = ConfigNode()
@@ -194,9 +195,10 @@ def get_cfg() -> ConfigNode:
     b.IMAGE_LOSS_WEIGHT = 0.1
     b.WITH_SOFTMAX_PROP = False
     b.CAPTION_WEIGHT = 1.0
-    b.NEG_CAP_WEIGHT = 1.0
+    b.NEG_CAP_WEIGHT = 0.125
     b.ADD_FEATURE_TO_PROP = False
     b.SOFTMAX_WEAK_LOSS = False
+    b.WS_NUM_PROPS = 128  # proposals kept for image-labeled data
 
     cascade = m.ROI_BOX_CASCADE_HEAD = ConfigNode()
     cascade.BBOX_REG_WEIGHTS = (
@@ -275,6 +277,7 @@ def get_cfg() -> ConfigNode:
     i.CP_METHOD = "basic"
     i.COPY_METHOD = "both"  # both|self_copy|syn_copy|p:<f> (mapper :884-890)
     i.SELF_COPY_MODE = "random"  # random|in_domain|cas|the_cls
+    i.SELF_COPY_CLS = []  # class ids for the_cls mode (reference SCP_SELECT_CLS)
     i.RM_BG_PROB = 0.0
     i.USE_INSTABOOST = False
     i.USE_COLOR_JITTER = False

@@ -80,3 +80,89 @@ class ResNet(nn.Module):
     @staticmethod
     def out_channels(depth: int, res2_out_channels: int = 256) -> Dict[str, int]:
         return {f"res{i + 2}": res2_out_channels * (2**i) for i in range(4)}
+
+
+class Bottle2neck(nn.Module):
+    """Res2Net bottleneck: the middle 3x3 becomes ``scale`` hierarchical
+    convolutions over channel splits (CenterNet2 vendored
+    ``centernet/modeling/backbone/res2net.py`` Bottle2neck semantics;
+    26w x 4s default). ``stype='stage'`` (stride/downsample blocks) skips the
+    additive chaining and average-pools the last split."""
+
+    out_channels: int
+    bottleneck_channels: int  # = width * scale
+    stride: int = 1
+    scale: int = 4
+    norm: str = "FrozenBN"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        stype = "stage" if self.stride != 1 or x.shape[-1] != self.out_channels else "normal"
+        width = self.bottleneck_channels // self.scale
+        out = ConvNorm(self.bottleneck_channels, 1, 1, self.norm, nn.relu,
+                       dtype=self.dtype, name="conv1")(x)
+        splits = jnp.split(out, self.scale, axis=-1)
+        outs = []
+        prev = None
+        for i in range(self.scale - 1):
+            sp = splits[i]
+            if i > 0 and stype == "normal":
+                sp = sp + prev
+            sp = ConvNorm(width, 3, self.stride, self.norm, nn.relu,
+                          dtype=self.dtype, name=f"conv2_{i}")(sp)
+            prev = sp
+            outs.append(sp)
+        last = splits[-1]
+        if stype == "stage" and self.stride != 1:
+            last = nn.avg_pool(last, (3, 3), strides=(self.stride, self.stride),
+                               padding=((1, 1), (1, 1)))
+        outs.append(last)
+        out = jnp.concatenate(outs, axis=-1)
+        out = ConvNorm(self.out_channels, 1, 1, self.norm, None, dtype=self.dtype, name="conv3")(out)
+        if x.shape[-1] != self.out_channels or self.stride != 1:
+            x = ConvNorm(self.out_channels, 1, self.stride, self.norm, None,
+                         dtype=self.dtype, name="shortcut")(x)
+        return nn.relu(out + x)
+
+
+class Res2Net(nn.Module):
+    """Res2Net-v1b (deep stem) backbone, drop-in for ResNet in the FPN."""
+
+    depth: int = 50
+    width: int = 26
+    scale: int = 4
+    norm: str = "FrozenBN"
+    out_features: Sequence[str] = ("res3", "res4", "res5")
+    res2_out_channels: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Dict[str, Array]:
+        # v1b deep stem: three 3x3 convs (32, 32, 64) then maxpool
+        x = ConvNorm(32, 3, 2, self.norm, nn.relu, dtype=self.dtype, name="stem1")(x)
+        x = ConvNorm(32, 3, 1, self.norm, nn.relu, dtype=self.dtype, name="stem2")(x)
+        x = ConvNorm(64, 3, 1, self.norm, nn.relu, dtype=self.dtype, name="stem3")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        outputs: Dict[str, Array] = {}
+        num_blocks = _BLOCKS[self.depth]
+        out_ch = self.res2_out_channels
+        w = self.width
+        for stage_idx, n in enumerate(num_blocks):
+            name = f"res{stage_idx + 2}"
+            stride = 1 if stage_idx == 0 else 2
+            for i in range(n):
+                x = Bottle2neck(
+                    out_ch,
+                    w * self.scale,
+                    stride=stride if i == 0 else 1,
+                    scale=self.scale,
+                    norm=self.norm,
+                    dtype=self.dtype,
+                    name=f"{name}_block{i}",
+                )(x)
+            if name in self.out_features:
+                outputs[name] = x
+            out_ch *= 2
+            w *= 2
+        return outputs

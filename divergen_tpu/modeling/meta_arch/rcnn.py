@@ -45,9 +45,22 @@ class CustomRCNN(nn.Module):
     swin_size: str = "T"
     roi_head_name: str = "DeticCascadeROIHeads"
     remat_backbone: bool = False
+    dynamic_classifier: bool = False
+    num_sample_cats: int = 50
 
     def setup(self):
-        if self.backbone_name.startswith("resnet"):
+        if self.backbone_name.startswith("res2net"):
+            from ..backbone.resnet import Res2Net
+
+            depth = int(self.backbone_name.replace("res2net", "") or 50)
+            body = Res2Net(
+                depth=depth,
+                norm=self.backbone_norm,
+                out_features=self.fpn_in_features,
+                dtype=self.compute_dtype,
+                name="bottom_up",
+            )
+        elif self.backbone_name.startswith("resnet"):
             depth = int(self.backbone_name.replace("resnet", "") or 50)
             body = ResNet(
                 depth=depth,
@@ -125,6 +138,8 @@ class CustomRCNN(nn.Module):
         axis_name: Optional[str] = None,
         gt_as_proposals: bool = False,
         return_logits: bool = False,
+        ann_type: str = "box",
+        cap_emb: Optional[Array] = None,  # (B, zs_dim) caption CLIP embeddings
     ):
         features = self._features(images)
         if gt_as_proposals:
@@ -152,6 +167,35 @@ class CustomRCNN(nn.Module):
             [r.reshape(r.shape[0], -1, 4) for r in bbox_regs], axis=1
         ).astype(jnp.float32)
 
+        cls_inds = None
+        if self.dynamic_classifier and training and ann_type != "caption":
+            # _sample_cls_inds (custom_rcnn.py:159-163, 226-247): restrict
+            # the zero-shot classifier to K sampled columns this step and
+            # remap targets into the compact vocabulary.
+            from ...ops.losses import sample_dynamic_classifier_inds
+
+            assert gt is not None and rng is not None
+            k_dyn = jax.random.fold_in(rng, 777)
+            if ann_type == "box":
+                flat_cls = gt["classes"].reshape(-1)
+                flat_ok = gt["valid"].reshape(-1)
+                dyn_weight = fed_weight
+            else:
+                flat_cls = gt["image_labels"].reshape(-1)
+                flat_ok = gt["image_labels_valid"].reshape(-1)
+                dyn_weight = None
+            cls_inds, cls_id_map = sample_dynamic_classifier_inds(
+                k_dyn, flat_cls, flat_ok, self.roi_cfg.num_classes,
+                self.num_sample_cats, dyn_weight,
+            )
+            gt = dict(gt)
+            if ann_type == "box":
+                gt["classes"] = cls_id_map[gt["classes"]]
+            else:
+                gt["image_labels"] = cls_id_map[gt["image_labels"]]
+            if fed_weight is not None:
+                fed_weight = fed_weight[cls_inds]
+
         if training:
             assert gt is not None and rng is not None
             reg_targets, heatmaps, pos_count = centernet_ground_truth(
@@ -174,6 +218,36 @@ class CustomRCNN(nn.Module):
                 image_sizes,
                 training=True,
             )
+            if ann_type not in ("box", "prop", "proptag"):
+                # weak supervision (custom_rcnn.py:165-247 ann_type branch):
+                # image-labeled / caption batches skip matching entirely.
+                cap_idx = None
+                cap_bank = None
+                if cap_emb is not None:
+                    b = cap_emb.shape[0]
+                    if self.roi_cfg.sync_caption_batch and axis_name is not None:
+                        # _sync_caption_features (custom_rcnn.py:210-223):
+                        # the caption "classifier" columns grow to the
+                        # global batch via an ICI all_gather
+                        cap_bank = jax.lax.all_gather(cap_emb, axis_name)
+                        cap_bank = cap_bank.reshape(-1, cap_emb.shape[-1])
+                        cap_idx = jax.lax.axis_index(axis_name) * b + jnp.arange(b)
+                    else:
+                        cap_bank = cap_emb
+                        cap_idx = jnp.arange(b)
+                weak = self.roi_heads.image_label_losses(
+                    features,
+                    proposals,
+                    image_sizes,
+                    gt["image_labels"],
+                    gt["image_labels_valid"],
+                    ann_type=ann_type,
+                    cap_emb=cap_bank,
+                    cap_idx=cap_idx,
+                    cls_inds=cls_inds,
+                )
+                losses.update(weak)
+                return losses
             roi_losses = self.roi_heads.losses(
                 rng,
                 features,
@@ -181,6 +255,7 @@ class CustomRCNN(nn.Module):
                 gt,
                 fed_weight=fed_weight,
                 axis_name=axis_name,
+                cls_inds=cls_inds,
             )
             losses.update(roi_losses)
             return losses
@@ -211,6 +286,10 @@ def build_model(cfg) -> CustomRCNN:
         backbone = "vitdet"
         fpn_in = ("p3", "p4", "p5")
         swin_size = cfg.MODEL.get("VIT_SIZE", "B")
+    elif "res2net" in name.lower():
+        backbone = f"res2net{cfg.MODEL.RESNETS.DEPTH}"
+        fpn_in = ("res3", "res4", "res5")
+        swin_size = "T"
     else:
         backbone = f"resnet{cfg.MODEL.RESNETS.DEPTH}"
         fpn_in = ("res3", "res4", "res5")
@@ -227,6 +306,8 @@ def build_model(cfg) -> CustomRCNN:
         backbone_norm=cfg.MODEL.RESNETS.NORM,
         compute_dtype=jnp.bfloat16 if cfg.FP16 else jnp.float32,
         swin_size=swin_size,
+        dynamic_classifier=cfg.MODEL.DYNAMIC_CLASSIFIER,
+        num_sample_cats=cfg.MODEL.NUM_SAMPLE_CATS,
     )
 
 

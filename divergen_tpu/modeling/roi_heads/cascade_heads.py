@@ -75,6 +75,19 @@ class ROIHeadsConfig:
     split_paste_loss: bool = False  # BSGAL per-source CE keys
     mask_head_name: str = "MaskRCNNConvUpsampleHead"  # or RefineMaskHead
     sem_seg_weight: float = 0.25
+    # weak supervision on image-labeled data (detic_fast_rcnn.py:340-583,
+    # detic_roi_heads.py:341-365)
+    with_image_labels: bool = False
+    image_label_loss: str = "max_size"  # max_size|max_score|first|image|min_loss|wsddn|wsod
+    image_loss_weight: float = 0.1
+    add_image_box: bool = False
+    image_box_size: float = 1.0
+    ws_num_props: int = 128
+    with_softmax_prop: bool = False
+    softmax_weak_loss: bool = False
+    caption_weight: float = 1.0
+    neg_cap_weight: float = 0.125
+    sync_caption_batch: bool = False
 
     @staticmethod
     def from_cfg(cfg) -> "ROIHeadsConfig":
@@ -118,6 +131,17 @@ class ROIHeadsConfig:
             divergen_mask_loss=cfg.MODEL.get("USE_DIVERGEN_MASK_LOSS", True),
             norm_temp=b.NORM_TEMP,
             use_zeroshot_cls=b.USE_ZEROSHOT_CLS,
+            with_image_labels=cfg.WITH_IMAGE_LABELS,
+            image_label_loss=b.IMAGE_LABEL_LOSS,
+            image_loss_weight=b.IMAGE_LOSS_WEIGHT,
+            add_image_box=b.ADD_IMAGE_BOX,
+            image_box_size=b.IMAGE_BOX_SIZE,
+            ws_num_props=b.WS_NUM_PROPS,
+            with_softmax_prop=b.WITH_SOFTMAX_PROP,
+            softmax_weak_loss=b.SOFTMAX_WEAK_LOSS,
+            caption_weight=b.CAPTION_WEIGHT,
+            neg_cap_weight=b.NEG_CAP_WEIGHT,
+            sync_caption_batch=cfg.MODEL.SYNC_CAPTION_BATCH,
         )
 
 
@@ -158,10 +182,24 @@ class DeticOutputLayers(nn.Module):
     use_zeroshot_cls: bool = False
     zs_dim: int = 512
     norm_temp: float = 50.0
+    with_softmax_prop: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Tuple[Array, Array]:
+    def __call__(
+        self,
+        x: Array,
+        cap_classifier: Optional[Array] = None,
+        cls_inds: Optional[Array] = None,
+    ) -> Tuple[Array, Array, Optional[Array]]:
+        """Returns (scores, deltas, prop_score|None).
+
+        ``cap_classifier`` (zs_dim, N_cap) appends caption-score columns
+        computed against the same normalized embedding — the caption branch
+        of detic_fast_rcnn.py:455-460 (requires the zero-shot classifier,
+        as in the reference). ``cls_inds`` (K,) restricts the zero-shot
+        classifier to a sampled vocabulary (dynamic classifier,
+        custom_rcnn.py:159-163: ``zs_weight[:, ind_with_bg]``)."""
         bias_value = -math.log((1 - self.prior_prob) / self.prior_prob) if self.use_sigmoid_ce else 0.0
         if self.use_zeroshot_cls:
             emb = nn.Dense(self.zs_dim, dtype=self.dtype, name="linear")(x)
@@ -174,12 +212,21 @@ class DeticOutputLayers(nn.Module):
             zs_weight = zs_weight / jnp.maximum(
                 jnp.linalg.norm(zs_weight, axis=0, keepdims=True), 1e-6
             )
+            if cls_inds is not None:
+                zs_weight = zs_weight[:, cls_inds]
             cls_logits = self.norm_temp * (emb @ zs_weight)
             bg = self.param("bg_bias", nn.initializers.constant(bias_value), (1,))
             scores = jnp.concatenate(
                 [cls_logits, jnp.broadcast_to(bg, (x.shape[0], 1))], axis=-1
             )
+            if cap_classifier is not None:
+                capw = cap_classifier / jnp.maximum(
+                    jnp.linalg.norm(cap_classifier, axis=0, keepdims=True), 1e-6
+                )
+                cap_scores = self.norm_temp * (emb @ capw.astype(emb.dtype))
+                scores = jnp.concatenate([scores, cap_scores], axis=-1)
         else:
+            assert cap_classifier is None, "caption loss needs USE_ZEROSHOT_CLS"
             scores = nn.Dense(
                 self.num_classes + 1,
                 kernel_init=nn.initializers.normal(0.01),
@@ -195,7 +242,18 @@ class DeticOutputLayers(nn.Module):
             dtype=self.dtype,
             name="bbox_pred",
         )(x)
-        return scores, deltas
+        prop_score = None
+        if self.with_softmax_prop:
+            # WSDDN proposal-score branch (detic_fast_rcnn.py:92-100)
+            h = nn.Dense(x.shape[-1], dtype=self.dtype, name="prop_score_fc")(x)
+            prop_score = nn.Dense(
+                self.num_classes + 1,
+                kernel_init=nn.initializers.normal(0.001),
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                name="prop_score_out",
+            )(nn.relu(h))
+        return scores, deltas, prop_score
 
 
 class MaskRCNNConvUpsampleHead(nn.Module):
@@ -366,7 +424,9 @@ class CascadeROIHeads(nn.Module):
         return outs[-1], outs
 
     # -- shared stage runner -------------------------------------------
-    def _run_stage(self, features, boxes_flat: Array, stage: int):
+    def _run_stage(self, features, boxes_flat: Array, stage: int,
+                   cap_classifier: Optional[Array] = None,
+                   cls_inds: Optional[Array] = None):
         """ROIAlign + box head + predictor for one stage (detic_roi_heads
         :396-414). ``_ScaleGradient`` 1/num_stages is applied to the pooled
         features exactly like the reference."""
@@ -385,8 +445,14 @@ class CascadeROIHeads(nn.Module):
         n_stages = len(c.cascade_ious)
         pooled = _scale_gradient(pooled, 1.0 / n_stages)
         box_feat = self.box_heads[stage](pooled)
-        scores, deltas = self.box_predictors[stage](box_feat)
-        return scores.reshape(b, p, -1), deltas.reshape(b, p, -1)
+        scores, deltas, prop_score = self.box_predictors[stage](
+            box_feat, cap_classifier, cls_inds
+        )
+        return (
+            scores.reshape(b, p, -1),
+            deltas.reshape(b, p, -1),
+            None if prop_score is None else prop_score.reshape(b, p, -1),
+        )
 
     # -- training ------------------------------------------------------
     def losses(
@@ -398,6 +464,7 @@ class CascadeROIHeads(nn.Module):
         #                         masks (B,N,Hm,Wm), instance_source (B,N)
         fed_weight: Optional[Array] = None,  # (C,) freq^0.5 weights
         axis_name: Optional[str] = None,
+        cls_inds: Optional[Array] = None,  # (K,) dynamic-classifier columns
     ) -> Dict[str, Array]:
         c = self.cfg
         b = proposals["boxes"].shape[0]
@@ -448,7 +515,7 @@ class CascadeROIHeads(nn.Module):
                 inst_src = jnp.take_along_axis(gt["instance_source"], matched_idx, axis=1)
                 inst_src = jnp.where(fg, inst_src, 0)
 
-            scores, deltas = self._run_stage(features, boxes, stage)
+            scores, deltas, _ = self._run_stage(features, boxes, stage, cls_inds=cls_inds)
             stage_losses = _fast_rcnn_losses(
                 c,
                 jax.random.fold_in(k_fed, stage),
@@ -484,6 +551,90 @@ class CascadeROIHeads(nn.Module):
                 losses["loss_semantic"] = c.sem_seg_weight * jnp.mean(
                     optax_sigmoid_bce(sem_logits, tgt)
                 )
+        return losses
+
+    # -- weak supervision (image-labeled / caption data) ----------------
+    def image_label_losses(
+        self,
+        features: Dict[str, Array],
+        proposals: Dict[str, Array],
+        image_sizes: Array,  # (B, 2) h, w
+        labels: Array,  # (B, L) int32 category ids (padded)
+        labels_valid: Array,  # (B, L) bool
+        ann_type: str = "image",
+        cap_emb: Optional[Array] = None,  # (N_cap, zs_dim) caption embeddings
+        cap_idx: Optional[Array] = None,  # (B,) own-caption column per image
+        cls_inds: Optional[Array] = None,  # (K,) dynamic-classifier columns
+    ) -> Dict[str, Array]:
+        """Detic weak losses for image-labeled batches.
+
+        Mirrors detic_roi_heads.py:341-365 (get_top_proposals + per-stage
+        image_label_losses) and detic_fast_rcnn.py:340-583. Proposals are
+        the top ``ws_num_props`` (already score-sorted), clipped, with an
+        optional whole-image box appended; each cascade stage scores them
+        and one proposal per label is supervised with BCE according to
+        ``image_label_loss``. No box-reg, no matching, no mask loss
+        (_get_empty_mask_loss parity)."""
+        c = self.cfg
+        b = proposals["boxes"].shape[0]
+        n = min(c.ws_num_props, proposals["boxes"].shape[1])
+        boxes = jax.lax.stop_gradient(proposals["boxes"][:, :n])
+        boxes = jax.vmap(box_ops.clip)(boxes, image_sizes)
+        pvalid = proposals["valid"][:, :n]
+        if c.add_image_box:
+            f = c.image_box_size
+            h = image_sizes[:, 0].astype(jnp.float32)
+            w = image_sizes[:, 1].astype(jnp.float32)
+            ib = jnp.stack(
+                [w * (1 - f) / 2, h * (1 - f) / 2,
+                 w * (1 - (1 - f) / 2), h * (1 - (1 - f) / 2)], axis=-1
+            )
+            boxes = jnp.concatenate([boxes, ib[:, None, :]], axis=1)
+            pvalid = jnp.concatenate([pvalid, jnp.ones((b, 1), bool)], axis=1)
+
+        cap_classifier = None
+        if cap_emb is not None:
+            cap_classifier = cap_emb.T  # (zs_dim, N_cap)
+
+        losses: Dict[str, Array] = {}
+        zero = jnp.zeros((), jnp.float32)
+        for stage in range(len(c.cascade_ious)):
+            scores, deltas, prop_score = self._run_stage(
+                features, boxes, stage, cap_classifier=cap_classifier,
+                cls_inds=cls_inds,
+            )
+            scores = scores.astype(jnp.float32)
+            img_loss = zero
+            if cap_emb is not None:
+                n_cap = cap_emb.shape[0]
+                cls_scores, cap_scores = scores[..., :-n_cap], scores[..., -n_cap:]
+                # caption loss on the image-level (last) box
+                # (detic_fast_rcnn.py:466-506)
+                cap_last = cap_scores[:, -1, :]  # (B, N_cap)
+                tgt = jax.nn.one_hot(cap_idx, n_cap)
+                bce = optax_sigmoid_bce(cap_last, tgt)
+                if c.sync_caption_batch:
+                    pos = jnp.sum(bce * tgt, axis=1)
+                    neg = jnp.sum(bce * (1.0 - tgt), axis=1)
+                    per_img = pos + c.neg_cap_weight * neg
+                else:
+                    per_img = jnp.sum(bce, axis=1)
+                img_loss = img_loss + c.caption_weight * jnp.mean(per_img)
+            else:
+                cls_scores = scores
+            if ann_type != "caption":
+                img_loss = img_loss + _weak_image_loss(
+                    c, cls_scores, prop_score, boxes, pvalid, labels, labels_valid
+                )
+            losses[f"image_loss_stage{stage}"] = img_loss * c.image_loss_weight
+            losses[f"loss_cls_stage{stage}"] = zero
+            losses[f"loss_box_reg_stage{stage}"] = zero
+            boxes = jax.lax.stop_gradient(
+                box_regression.apply_deltas(deltas, boxes, c.cascade_reg_weights[stage])
+            )
+            boxes = jax.vmap(box_ops.clip)(boxes, image_sizes)
+        if c.mask_on:
+            losses["loss_mask"] = zero  # _get_empty_mask_loss parity
         return losses
 
     def _mask_loss(self, rng, features, gt, proposals) -> Array:
@@ -570,7 +721,7 @@ class CascadeROIHeads(nn.Module):
         b, p = boxes.shape[:2]
         scores_sum = jnp.zeros((b, p, c.num_classes + 1), jnp.float32)
         for stage in range(len(c.cascade_ious)):
-            scores, deltas = self._run_stage(features, boxes, stage)
+            scores, deltas, _ = self._run_stage(features, boxes, stage)
             if c.use_sigmoid_ce:
                 probs = jax.nn.sigmoid(scores.astype(jnp.float32))
             else:
@@ -611,6 +762,69 @@ class CascadeROIHeads(nn.Module):
             mres = mask_logits.shape[-1]
             dets["mask_logits"] = mask_logits.reshape(b, k, mres, mres)
         return dets
+
+
+def _weak_image_loss(
+    c: ROIHeadsConfig,
+    scores: Array,  # (B, P, C+1) f32 logits
+    prop_score: Optional[Array],  # (B, P, C+1) or None (WSDDN branch)
+    boxes: Array,  # (B, P, 4)
+    prop_valid: Array,  # (B, P) bool
+    labels: Array,  # (B, L) int32
+    labels_valid: Array,  # (B, L) bool
+) -> Array:
+    """One stage's image-label loss, vectorized over (B, L).
+
+    Strategy semantics follow detic_fast_rcnn.py:508-583:
+      max_size : BCE at the largest proposal (image box excluded)
+      max_score: BCE at the proposal with the highest score for the label
+      first    : BCE at proposal 0
+      image    : BCE at the image-level (last) box
+      min_loss : BCE at the proposal with the smallest per-row BCE
+      wsddn/wsod: sigmoid(score)·softmax_props(prop_score) summed over
+                  proposals → probability-space BCE (mean over classes)
+    """
+    _, p, c1 = scores.shape
+
+    def per_image(sc, ps, bx, pv, lab, lv):
+        def one_label(l):
+            tgt = jax.nn.one_hot(l, c1)
+            if c.image_label_loss in ("wsddn", "wsod"):
+                logits_p = jnp.where(pv[:, None], ps, -1e30)
+                w = jax.nn.softmax(logits_p, axis=0)  # over proposals
+                final = jax.nn.sigmoid(sc) * w
+                img = jnp.clip(jnp.sum(final, axis=0), 1e-10, 1.0 - 1e-10)
+                return -jnp.mean(tgt * jnp.log(img) + (1 - tgt) * jnp.log(1 - img))
+            if c.image_label_loss == "max_size":
+                area = (bx[:, 2] - bx[:, 0]) * (bx[:, 3] - bx[:, 1])
+                area = jnp.where(pv, area, -jnp.inf)
+                area = area.at[-1].set(-jnp.inf)  # sizes[:-1] in the reference
+                ind = jnp.argmax(area)
+            elif c.image_label_loss == "max_score":
+                ind = jnp.argmax(jnp.where(pv, sc[:, l], -jnp.inf))
+            elif c.image_label_loss == "first":
+                ind = 0
+            elif c.image_label_loss == "image":
+                ind = p - 1
+            elif c.image_label_loss == "min_loss":
+                per_row = jnp.sum(optax_sigmoid_bce(sc, jnp.broadcast_to(tgt, sc.shape)), axis=-1)
+                per_row = jnp.where(pv, per_row, jnp.inf)
+                ind = jnp.argmin(jax.lax.stop_gradient(per_row))
+            else:
+                raise ValueError(f"unknown image_label_loss {c.image_label_loss}")
+            row = sc[ind]
+            if c.softmax_weak_loss:
+                return -jax.nn.log_softmax(row)[l]
+            return jnp.sum(optax_sigmoid_bce(row, tgt))
+
+        ll = jax.vmap(one_label)(lab)
+        denom = jnp.maximum(jnp.sum(labels_valid_f := lv.astype(jnp.float32)), 1.0)
+        return jnp.sum(jnp.where(lv, ll, 0.0)) / denom
+
+    ps_in = prop_score if prop_score is not None else scores
+    return jnp.mean(
+        jax.vmap(per_image)(scores, ps_in, boxes, prop_valid, labels, labels_valid)
+    )
 
 
 def _fast_rcnn_inference_single(c: ROIHeadsConfig, boxes, scores, valid, image_size):

@@ -99,7 +99,7 @@ class Res5ROIHeads(nn.Module):
 
         x = self._res5_features(features, boxes)
         feat = jnp.mean(x, axis=(1, 2))  # global average pool (C4 head)
-        scores, deltas = self.predictor(feat)
+        scores, deltas, _ = self.predictor(feat)
         p = boxes.shape[1]
         stage_losses = _fast_rcnn_losses(
             c, k_fed, scores.reshape(b, p, -1), deltas.reshape(b, p, -1), boxes,
@@ -130,7 +130,7 @@ class Res5ROIHeads(nn.Module):
         b, p = boxes.shape[:2]
         x = self._res5_features(features, boxes)
         feat = jnp.mean(x, axis=(1, 2))
-        scores, deltas = self.predictor(feat)
+        scores, deltas, _ = self.predictor(feat)
         scores = scores.reshape(b, p, -1).astype(jnp.float32)
         probs = jax.nn.sigmoid(scores) if c.use_sigmoid_ce else jax.nn.softmax(scores, -1)
         if c.mult_proposal_score:

@@ -169,6 +169,37 @@ def get_fed_loss_classes(
     return mask.astype(jnp.float32)
 
 
+def sample_dynamic_classifier_inds(
+    key: Array,
+    gt_classes: Array,  # flat (N,) int32 — gt classes or image labels
+    gt_valid: Array,  # (N,) bool
+    num_classes: int,
+    num_sample_cats: int,
+    freq_weight: Array | None = None,
+) -> tuple:
+    """Dynamic classifier sampling (_sample_cls_inds,
+    custom_rcnn.py:226-247): pick ``num_sample_cats`` classifier columns —
+    every class appearing in the batch, then frequency-weighted random
+    negatives — and return (inds (K,), cls_id_map (C+1,)) where cls_id_map
+    sends original ids to compact ids and everything else (incl. background
+    C) to K. Static-size deviation from the reference: if more than K
+    distinct classes appear, the overflow maps to background."""
+    import jax
+
+    appeared = jnp.zeros((num_classes + 1,), bool)
+    appeared = appeared.at[jnp.where(gt_valid, gt_classes, num_classes)].set(True)
+    appeared = appeared[:num_classes]
+    w = freq_weight if freq_weight is not None else jnp.ones((num_classes,))
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, (num_classes,)) + 1e-20) + 1e-20)
+    score = jnp.where(w > 0, jnp.log(w + 1e-20) + gumbel, -1e30)
+    score = jnp.where(appeared, jnp.inf, score)  # appeared classes first
+    _, inds = jax.lax.top_k(score, num_sample_cats)
+    cls_id_map = jnp.full((num_classes + 1,), num_sample_cats, jnp.int32)
+    cls_id_map = cls_id_map.at[inds].set(jnp.arange(num_sample_cats, dtype=jnp.int32))
+    cls_id_map = cls_id_map.at[num_classes].set(num_sample_cats)  # bg → K
+    return inds, cls_id_map
+
+
 def sigmoid_cross_entropy_with_fed_loss(
     scores: Array,
     gt_classes: Array,

@@ -1,17 +1,21 @@
 """Pallas flash attention for TPU.
 
-The hot attention op shared by every transformer in the stack: Swin window
-attention (with relative-position bias), SAM/CLIP ViT global attention, and
-the SDXL UNet cross/self attention. The reference runs cuDNN softmax
-attention via torch; here it is a single fused Pallas kernel — online
-softmax over K/V tiles so the (S, S) score matrix never hits HBM.
+The hot attention op of the SDXL UNet (self-attention at 4096/1024 tokens)
+and the VAE decoder (16384-token single-head attention). The reference runs
+cuDNN softmax attention via torch; here it is a single fused Pallas kernel —
+online softmax over K/V tiles so the (S, S) score matrix never hits HBM.
 
-Layout: (batch*heads, seq, head_dim). Grid is (bh, q_tile, k_tile) with the
-K dimension innermost and marked "arbitrary": VMEM scratch (running max /
-normalizer / accumulator) persists across k steps, so only one
-(block_q, d) + (block_k, d) tile pair is resident at a time — VMEM stays
-bounded for any sequence length (the VAE's 16384-token single-head
-attention included; an all-resident K/V layout OOMs scoped vmem there).
+Performance notes (v5e, measured via tools/profile_unet.py):
+- Both dots run on bf16 inputs with f32 accumulation (MXU native rate);
+  upcasting q/k/v to f32 before the dot halves MXU throughput.
+- K tiles are large (up to 1024) so the p@v contraction fills the MXU's
+  128-deep systolic dimension even when head_dim is 64.
+- Padded keys are masked in-kernel from an iota comparison — no
+  materialized (BH, Sq, Sk) bias tensor for the common pad-only case
+  (that bias alone cost ~40 MB of HBM traffic per cross-attention layer).
+- Grid is (bh, q_tile, k_tile), K innermost and "arbitrary": VMEM scratch
+  (running max / normalizer / accumulator) persists across k steps, so
+  VMEM stays bounded for any sequence length.
 """
 from __future__ import annotations
 
@@ -27,7 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, num_kv):
+def _attn_kernel_main(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, num_kv, kv_len, block_k
+):
+    """No-bias kernel: bf16 (or f32) dots, f32 online softmax, in-kernel
+    masking of padded key columns."""
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -36,17 +44,22 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, nu
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if kv_len % block_k:
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
     m_prev = m_scr[:, 0]
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
     p = jnp.exp(s - m_cur[:, None])
     alpha = jnp.exp(m_prev - m_cur)
     l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
     acc_scr[:] = acc_scr[:] * alpha[:, None] + jnp.dot(
-        p, v, preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
     m_scr[:, 0] = m_cur
 
@@ -60,6 +73,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, nu
 def _attn_bias_kernel(
     q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, num_kv
 ):
+    """Bias variant (Swin relative-position bias / arbitrary masks)."""
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -68,17 +82,17 @@ def _attn_bias_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + b_ref[0].astype(jnp.float32)
     m_prev = m_scr[:, 0]
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
     p = jnp.exp(s - m_cur[:, None])
     alpha = jnp.exp(m_prev - m_cur)
     l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
     acc_scr[:] = acc_scr[:] * alpha[:, None] + jnp.dot(
-        p, v, preferred_element_type=jnp.float32
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
     )
     m_scr[:, 0] = m_cur
 
@@ -99,14 +113,37 @@ def _pad_to(x: Array, axis: int, multiple: int, value: float = 0.0) -> Array:
     return jnp.pad(x, pad, constant_values=value)
 
 
+def _pick_blocks(s_q: int, s_k: int, d: int) -> tuple[int, int]:
+    """Largest power-of-two tiles that fit the ~16 MB/core VMEM budget with
+    input double-buffering. Large K tiles matter most: the p@v contraction
+    is block_k deep, which keeps the MXU full even at head_dim 64."""
+
+    def fits(bq, bk):
+        scores = bq * bk * 4 + bq * bk * 2  # f32 s + bf16 p copy
+        tiles = 2 * (bq * d * 2 + 2 * bk * d * 2)  # double-buffered q/k/v
+        acc = bq * d * 4 + bq * 8 * 4 * 2
+        return scores + tiles + acc < 12 * 2**20
+
+    bq = min(1024, max(128, 1 << (s_q - 1).bit_length()))
+    bk = min(1024, max(128, 1 << (s_k - 1).bit_length()))
+    while not fits(bq, bk):
+        if bq >= bk and bq > 128:
+            bq //= 2
+        elif bk > 128:
+            bk //= 2
+        else:
+            break
+    return bq, bk
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "use_pallas"))
 def flash_attention(
     q: Array,
     k: Array,
     v: Array,
     bias: Array | None = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int | None = None,
+    block_k: int | None = None,
     use_pallas: bool | None = None,
 ) -> Array:
     """Fused attention. q/k/v: (BH, S, D); bias: (BH, Sq, Sk) or None.
@@ -122,28 +159,20 @@ def flash_attention(
     bh, s_q, d = q.shape
     s_k = k.shape[1]
     scale = 1.0 / math.sqrt(d)
-    block_q = min(block_q, max(128, 1 << (s_q - 1).bit_length()))
-    block_k = min(block_k, max(128, 1 << (s_k - 1).bit_length()))
-    # bound VMEM: (block_q + 2*block_k) * d tiles + f32 accumulator
-    while d * (block_q + 2 * block_k) * 4 + block_q * d * 4 > 8 * 2**20 and block_k > 128:
-        block_k //= 2
-        if block_q > 128:
-            block_q //= 2
+    auto_q, auto_k = _pick_blocks(s_q, s_k, d)
+    block_q = block_q or auto_q
+    block_k = block_k or auto_k
 
     qp = _pad_to(q, 1, block_q)
     kp = _pad_to(k, 1, block_k)
     vp = _pad_to(v, 1, block_k)
     sq_p, sk_p = qp.shape[1], kp.shape[1]
-    if bias is None and sk_p != s_k:
-        # padded keys must be masked out
-        bias = jnp.zeros((1, s_q, s_k), qp.dtype)
     if bias is not None:
         bias = jnp.broadcast_to(bias, (bh, s_q, s_k))
         bias = _pad_to(_pad_to(bias, 2, block_k, NEG_INF), 1, block_q)
 
     num_kv = sk_p // block_k
     grid = (bh, sq_p // block_q, num_kv)
-    common = dict(scale=scale, num_kv=num_kv)
     scratch = [
         pltpu.VMEM((block_q, 1), jnp.float32),
         pltpu.VMEM((block_q, 1), jnp.float32),
@@ -161,7 +190,7 @@ def flash_attention(
             (1, block_q, block_k), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM
         )
         out = pl.pallas_call(
-            functools.partial(_attn_bias_kernel, **common),
+            functools.partial(_attn_bias_kernel, scale=scale, num_kv=num_kv),
             out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
             grid=grid,
             in_specs=[q_spec, kv_spec, kv_spec, b_spec],
@@ -171,7 +200,10 @@ def flash_attention(
         )(qp, kp, vp, bias)
     else:
         out = pl.pallas_call(
-            functools.partial(_attn_kernel, **common),
+            functools.partial(
+                _attn_kernel_main, scale=scale, num_kv=num_kv, kv_len=s_k,
+                block_k=block_k,
+            ),
             out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
             grid=grid,
             in_specs=[q_spec, kv_spec, kv_spec],
@@ -183,11 +215,18 @@ def flash_attention(
 
 
 def reference_attention(q: Array, k: Array, v: Array, bias: Array | None = None) -> Array:
-    """Plain XLA softmax attention — numerics reference for the kernel."""
+    """Plain XLA softmax attention — numerics reference for the kernel.
+
+    Products are computed on the native input dtype with f32 accumulation
+    (for bf16 inputs this is bit-identical to upcasting first: the MXU
+    multiplies bf16 exactly into an f32 accumulator)."""
     d = q.shape[-1]
-    s = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32), k.astype(jnp.float32))
-    s = s / math.sqrt(d)
+    s = jnp.einsum(
+        "bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(d)
     if bias is not None:
         s = s + bias.astype(jnp.float32)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32)).astype(q.dtype)
+    return jnp.einsum(
+        "bqk,bkd->bqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)

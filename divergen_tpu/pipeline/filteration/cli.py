@@ -41,6 +41,10 @@ from .core import (
 
 
 def _encoder(args) -> ClipEncoder:
+    if getattr(args, "method", "clip") == "dinov2":
+        from .core import DinoEncoder
+
+        return DinoEncoder(getattr(args, "dino_model", "vitg14"), batch=args.batch)
     params = None
     if getattr(args, "clip_ckpt", ""):
         from ...utils.torch_weights import load_clip_params
@@ -56,6 +60,9 @@ def extract_features(argv=None) -> int:
     p.add_argument("--out_dir", required=True)
     p.add_argument("--mask_dir", default="", help="gen-image masks (background zeroed)")
     p.add_argument("--model_name", default="ViT-L/14")
+    p.add_argument("--method", default="clip", choices=["clip", "dinov2"],
+                   help="feature tower (get_image_feature.py --method)")
+    p.add_argument("--dino_model", default="vitg14")
     p.add_argument("--clip_ckpt", default="")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--dist", action="store_true")

@@ -111,6 +111,48 @@ class ClipEncoder:
         return np.asarray(self._embed_texts(self.params["text"], jnp.asarray(tokens)))
 
 
+class DinoEncoder:
+    """Jitted DINOv2 image tower — the reference's ``method='dinov2'``
+    alternative (get_image_feature.py:34-53). Same ``encode_images``
+    interface as ClipEncoder; embeddings are L2-normalized for the shared
+    cosine-similarity path."""
+
+    def __init__(self, model_name: str = "vitg14", batch: int = 64,
+                 params=None, rng_seed: int = 0, image_size: int = 224):
+        import jax
+        import jax.numpy as jnp
+
+        from ...modeling.backbone.dinov2 import DinoV2, dinov2_preprocess
+
+        self.batch = batch
+        self.model = DinoV2.from_name(model_name)
+        self._jnp = jnp
+        if params is None:
+            dummy = jnp.zeros((1, image_size, image_size, 3))
+            params = jax.jit(self.model.init)(jax.random.PRNGKey(rng_seed), dummy)
+        self.params = params
+
+        def embed(p, imgs):
+            feats = self.model.apply(p, dinov2_preprocess(imgs))
+            return feats / jnp.maximum(
+                jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-8
+            )
+
+        self._embed_images = jax.jit(embed)
+
+    def encode_images(self, images: np.ndarray) -> np.ndarray:
+        jnp = self._jnp
+        out = []
+        for ofs in range(0, len(images), self.batch):
+            chunk = images[ofs : ofs + self.batch]
+            pad = self.batch - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            emb = self._embed_images(self.params, jnp.asarray(chunk))
+            out.append(np.asarray(emb)[: len(images) - ofs])
+        return np.concatenate(out) if out else np.zeros((0, 1))
+
+
 def cosine_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Normalized-feature similarity (get_similarity_from_features_batch)."""
     return a @ b.T

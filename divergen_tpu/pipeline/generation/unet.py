@@ -66,9 +66,15 @@ def _attention(q: Array, k: Array, v: Array, heads: int) -> Array:
     q = q.reshape(b, nq, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, nq, d)
     k = k.reshape(b, nk, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, nk, d)
     v = v.reshape(b, nk, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, nk, d)
-    from ...ops.pallas.flash_attention import flash_attention
+    from ...ops.pallas.flash_attention import flash_attention, reference_attention
 
-    out = flash_attention(q, k, v)  # (B*H, Nq, D); pallas on TPU, XLA ref off
+    if nk <= 128:
+        # cross-attention over 77 text tokens: the (Nq, 128-padded) score
+        # matrix is tiny — plain XLA beats the flash kernel here (measured
+        # ~12 ms/step on the full UNet, tools/profile_unet.py)
+        out = reference_attention(q, k, v)
+    else:
+        out = flash_attention(q, k, v)  # (B*H, Nq, D); pallas on TPU, XLA ref off
     return out.reshape(b, heads, nq, d).transpose(0, 2, 1, 3).reshape(b, nq, c)
 
 

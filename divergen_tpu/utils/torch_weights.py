@@ -261,35 +261,153 @@ def load_sam_params(path: str, sam_module) -> Dict:
 
 
 # ---------------- SDXL UNet (diffusers) ----------------
-def load_sdxl_unet_params(path: str, unet) -> Dict:
-    """diffusers UNet2DConditionModel state dict → UNetSDXL params.
+def convert_sdxl_unet(sd: Dict[str, np.ndarray], unet) -> Dict:
+    """diffusers ``UNet2DConditionModel`` state dict → ``UNetSDXL`` params.
 
-    The full SDXL mapping covers hundreds of blocks; the converter walks the
-    diffusers naming scheme programmatically. Any unmatched/odd key is
-    skipped with a warning and keeps its random init (shape-mismatch skip,
-    DetectionCheckpointer semantics).
+    Walks the diffusers naming scheme programmatically from the flax config
+    (block_channels / layers_per_block / transformer_depths), so it covers
+    every resnet, attention block and transformer layer of SDXL-base
+    (~2.6 B params). diffusers up_blocks are indexed coarse→fine; ours are
+    ``up{lvl}`` with lvl = channel level, so up_blocks.k ↔ up{n-1-k}.
     """
-    sd = load_state_dict(path)
     out: Dict[str, Any] = {}
+    mapped = [0]
 
-    def put(dst, src_w, src_b=None, conv=False):
-        if src_w not in sd:
+    def lin(dst, src):
+        if f"{src}.weight" not in sd:
             return
-        out[dst] = {"kernel": _t_conv(sd[src_w]) if conv else _t_linear(sd[src_w])}
-        if src_b and src_b in sd:
-            out[dst]["bias"] = sd[src_b]
+        d = out.setdefault(dst, {})
+        d["kernel"] = _t_linear(sd[f"{src}.weight"])
+        if f"{src}.bias" in sd:
+            d["bias"] = sd[f"{src}.bias"]
+        mapped[0] += 1
 
-    put("time_embed_1", "time_embedding.linear_1.weight", "time_embedding.linear_1.bias")
-    put("time_embed_2", "time_embedding.linear_2.weight", "time_embedding.linear_2.bias")
-    put("add_embed_1", "add_embedding.linear_1.weight", "add_embedding.linear_1.bias")
-    put("add_embed_2", "add_embedding.linear_2.weight", "add_embedding.linear_2.bias")
-    put("conv_in", "conv_in.weight", "conv_in.bias", conv=True)
-    put("conv_out", "conv_out.weight", "conv_out.bias", conv=True)
-    # blocks: down_blocks.{L}.resnets.{i} → down{L}_res{i}, attentions →
-    # down{L}_attn{i}; similarly mid/up. GroupNorm + transformer internals
-    # follow the same per-layer shape mapping as put().
-    logger.warning(
-        "load_sdxl_unet_params: partial structural converter — %d of %d keys mapped",
-        len(out), len(sd),
-    )
+    def conv(dst, src):
+        if f"{src}.weight" not in sd:
+            return
+        node = out
+        parts = dst.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = {"kernel": _t_conv(sd[f"{src}.weight"]), "bias": sd[f"{src}.bias"]}
+        mapped[0] += 1
+
+    def norm(dst, src, group=True):
+        if f"{src}.weight" not in sd:
+            return
+        entry = {"scale": sd[f"{src}.weight"], "bias": sd[f"{src}.bias"]}
+        if group:  # GroupNorm32 wraps an anonymous nn.GroupNorm
+            out[dst] = {"GroupNorm_0": entry}
+        else:
+            out[dst] = entry
+        mapped[0] += 1
+
+    def resblock(dst, src):
+        o = out.setdefault(dst, {})
+
+        def _norm(name, s):
+            if f"{s}.weight" in sd:
+                o[name] = {"GroupNorm_0": {"scale": sd[f"{s}.weight"], "bias": sd[f"{s}.bias"]}}
+                mapped[0] += 1
+
+        def _conv(name, s):
+            if f"{s}.weight" in sd:
+                o[name] = {"kernel": _t_conv(sd[f"{s}.weight"]), "bias": sd[f"{s}.bias"]}
+                mapped[0] += 1
+
+        def _lin(name, s):
+            if f"{s}.weight" in sd:
+                o[name] = {"kernel": _t_linear(sd[f"{s}.weight"]), "bias": sd[f"{s}.bias"]}
+                mapped[0] += 1
+
+        _norm("norm1", f"{src}.norm1")
+        _conv("conv1", f"{src}.conv1")
+        _lin("time_emb_proj", f"{src}.time_emb_proj")
+        _norm("norm2", f"{src}.norm2")
+        _conv("conv2", f"{src}.conv2")
+        _conv("conv_shortcut", f"{src}.conv_shortcut")
+
+    def transformer(dst, src, depth):
+        o = out.setdefault(dst, {})
+
+        def _lin(name, s, bias=True):
+            if f"{s}.weight" in sd:
+                d = {"kernel": _t_linear(sd[f"{s}.weight"])}
+                if bias and f"{s}.bias" in sd:
+                    d["bias"] = sd[f"{s}.bias"]
+                o_ref = o
+                parts = name.split("/")
+                for p in parts[:-1]:
+                    o_ref = o_ref.setdefault(p, {})
+                o_ref[parts[-1]] = d
+                mapped[0] += 1
+
+        if f"{src}.norm.weight" in sd:
+            o["norm"] = {"GroupNorm_0": {"scale": sd[f"{src}.norm.weight"],
+                                         "bias": sd[f"{src}.norm.bias"]}}
+            mapped[0] += 1
+        _lin("proj_in", f"{src}.proj_in")
+        _lin("proj_out", f"{src}.proj_out")
+        for j in range(depth):
+            tb = f"{src}.transformer_blocks.{j}"
+            for nname, s in (("norm1", f"{tb}.norm1"), ("norm2", f"{tb}.norm2"),
+                             ("norm3", f"{tb}.norm3")):
+                if f"{s}.weight" in sd:
+                    o.setdefault(f"block{j}", {})[nname] = {
+                        "scale": sd[f"{s}.weight"], "bias": sd[f"{s}.bias"]
+                    }
+                    mapped[0] += 1
+            _lin(f"block{j}/attn1_q", f"{tb}.attn1.to_q", bias=False)
+            _lin(f"block{j}/attn1_k", f"{tb}.attn1.to_k", bias=False)
+            _lin(f"block{j}/attn1_v", f"{tb}.attn1.to_v", bias=False)
+            _lin(f"block{j}/attn1_out", f"{tb}.attn1.to_out.0")
+            _lin(f"block{j}/attn2_q", f"{tb}.attn2.to_q", bias=False)
+            _lin(f"block{j}/attn2_k", f"{tb}.attn2.to_k", bias=False)
+            _lin(f"block{j}/attn2_v", f"{tb}.attn2.to_v", bias=False)
+            _lin(f"block{j}/attn2_out", f"{tb}.attn2.to_out.0")
+            _lin(f"block{j}/ff_geglu", f"{tb}.ff.net.0.proj")
+            _lin(f"block{j}/ff_out", f"{tb}.ff.net.2")
+
+    lin("time_embed_1", "time_embedding.linear_1")
+    lin("time_embed_2", "time_embedding.linear_2")
+    lin("add_embed_1", "add_embedding.linear_1")
+    lin("add_embed_2", "add_embedding.linear_2")
+    conv("conv_in", "conv_in")
+    conv("conv_out", "conv_out")
+    norm("norm_out", "conv_norm_out")
+
+    n_levels = len(unet.block_channels)
+    lpb = unet.layers_per_block
+    depths = unet.transformer_depths
+    for lvl in range(n_levels):
+        for i in range(lpb):
+            resblock(f"down{lvl}_res{i}", f"down_blocks.{lvl}.resnets.{i}")
+            if depths[lvl]:
+                transformer(
+                    f"down{lvl}_attn{i}", f"down_blocks.{lvl}.attentions.{i}", depths[lvl]
+                )
+        if lvl < n_levels - 1:
+            conv(f"down{lvl}_ds/conv", f"down_blocks.{lvl}.downsamplers.0.conv")
+    resblock("mid_res0", "mid_block.resnets.0")
+    resblock("mid_res1", "mid_block.resnets.1")
+    transformer("mid_attn", "mid_block.attentions.0", depths[-1])
+    for k in range(n_levels):  # diffusers up index k ↔ our level n-1-k
+        lvl = n_levels - 1 - k
+        for i in range(lpb + 1):
+            resblock(f"up{lvl}_res{i}", f"up_blocks.{k}.resnets.{i}")
+            if depths[lvl]:
+                transformer(
+                    f"up{lvl}_attn{i}", f"up_blocks.{k}.attentions.{i}", depths[lvl]
+                )
+        if lvl > 0:
+            conv(f"up{lvl}_us/conv", f"up_blocks.{k}.upsamplers.0.conv")
+
+    logger.info("convert_sdxl_unet: %d modules mapped from %d torch keys",
+                mapped[0], len(sd))
     return {"params": out}
+
+
+def load_sdxl_unet_params(path: str, unet) -> Dict:
+    """Load + convert a diffusers SDXL UNet checkpoint (safetensors/.pth)."""
+    sd = load_state_dict(path)
+    return convert_sdxl_unet(sd, unet)

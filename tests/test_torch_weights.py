@@ -140,3 +140,94 @@ def test_load_state_dict_torch_roundtrip(tmp_path):
     torch.save({"state_dict": sd}, tmp_path / "m.pth")
     out = load_state_dict(str(tmp_path / "m.pth"))
     np.testing.assert_array_equal(out["w"], np.arange(6, dtype=np.float32).reshape(2, 3))
+
+
+def test_sdxl_unet_conversion_full_coverage():
+    """Synthesize a diffusers-style state dict with the tiny UNet's shapes,
+    convert, merge, and verify every flax leaf took the torch value."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from divergen_tpu.pipeline.generation.unet import UNetSDXL
+    from divergen_tpu.utils.torch_weights import _merge_trees, convert_sdxl_unet
+
+    unet = UNetSDXL.tiny(dtype=jnp.float32)
+    lat = jnp.zeros((1, 16, 16, 4))
+    ctx = jnp.zeros((1, 7, 64))
+    pooled = jnp.zeros((1, 1280))
+    tids = jnp.zeros((1, 6))
+    params = unet.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,)), ctx, pooled, tids)
+    n_lvl = len(unet.block_channels)
+
+    def module_to_torch(mod: str) -> str:
+        """flax module path (no leaf) -> diffusers module name."""
+        mod = mod.replace("/GroupNorm_0", "")
+
+        def tx(m):
+            rest = (
+                m[2]
+                .replace("attn1_out", "attn1.to_out.0")
+                .replace("attn2_out", "attn2.to_out.0")
+                .replace("attn1_", "attn1.to_")
+                .replace("attn2_", "attn2.to_")
+                .replace("ff_geglu", "ff.net.0.proj")
+                .replace("ff_out", "ff.net.2")
+            )
+            return f"transformer_blocks.{m[1]}.{rest}"
+
+        mod = re.sub(r"block(\d+)/(.*)", tx, mod)
+        rules = [
+            (r"down(\d+)_res(\d+)/(.*)", lambda m: f"down_blocks.{m[1]}.resnets.{m[2]}.{m[3]}"),
+            (r"down(\d+)_attn(\d+)/(.*)", lambda m: f"down_blocks.{m[1]}.attentions.{m[2]}.{m[3]}"),
+            (r"down(\d+)_ds/conv", lambda m: f"down_blocks.{m[1]}.downsamplers.0.conv"),
+            (r"up(\d+)_res(\d+)/(.*)", lambda m: f"up_blocks.{n_lvl - 1 - int(m[1])}.resnets.{m[2]}.{m[3]}"),
+            (r"up(\d+)_attn(\d+)/(.*)", lambda m: f"up_blocks.{n_lvl - 1 - int(m[1])}.attentions.{m[2]}.{m[3]}"),
+            (r"up(\d+)_us/conv", lambda m: f"up_blocks.{n_lvl - 1 - int(m[1])}.upsamplers.0.conv"),
+            (r"mid_res(\d+)/(.*)", lambda m: f"mid_block.resnets.{m[1]}.{m[2]}"),
+            (r"mid_attn/(.*)", lambda m: f"mid_block.attentions.0.{m[1]}"),
+            (r"time_embed_1", lambda m: "time_embedding.linear_1"),
+            (r"time_embed_2", lambda m: "time_embedding.linear_2"),
+            (r"add_embed_1", lambda m: "add_embedding.linear_1"),
+            (r"add_embed_2", lambda m: "add_embedding.linear_2"),
+            (r"conv_in", lambda m: "conv_in"),
+            (r"conv_out", lambda m: "conv_out"),
+            (r"norm_out", lambda m: "conv_norm_out"),
+        ]
+        for pat, fn in rules:
+            m = re.fullmatch(pat, mod)
+            if m:
+                out = fn(m)
+                # attention internals may still carry a norm1/proj_in tail
+                return out
+        raise AssertionError(f"unmapped flax module {mod}")
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    sd = {}
+    for kp, arr in flat:
+        path = [k.key for k in kp]
+        assert path[0] == "params"
+        leaf = path[-1]
+        mod = "/".join(path[1:-1])
+        arr = np.asarray(arr)
+        if leaf == "kernel" and arr.ndim == 4:
+            tarr = arr.transpose(3, 2, 0, 1)
+        elif leaf == "kernel":
+            tarr = arr.T
+        else:
+            tarr = arr
+        suffix = ".weight" if leaf in ("kernel", "scale") else ".bias"
+        sd[module_to_torch(mod) + suffix] = tarr
+
+    conv = convert_sdxl_unet(sd, unet)
+    merged, skipped = _merge_trees(jax.tree.map(np.asarray, params), conv)
+    assert not skipped, skipped[:10]
+    flat2, _ = jax.tree_util.tree_flatten_with_path(merged)
+    # round trip: every leaf must equal the synthesized torch tensor
+    for (kp, orig), (kp2, got) in zip(flat, flat2):
+        assert kp == kp2
+        np.testing.assert_allclose(np.asarray(orig), np.asarray(got), rtol=0, atol=0,
+                                   err_msg="/".join(k.key for k in kp))
+    out = unet.apply(merged, lat, jnp.zeros((1,)), ctx, pooled, tids)
+    assert np.isfinite(np.asarray(out)).all()
