@@ -19,6 +19,8 @@ def get_cfg() -> ConfigNode:
     c.VERSION = 2
     c.OUTPUT_DIR = "./output"
     c.SEED = 42
+    c.PROFILE_START_ITER = -1  # >=0: jax.profiler trace window start
+    c.PROFILE_NUM_ITERS = 5
     c.FP16 = False  # bf16 mixed precision on TPU (ref: cfg.FP16, train_net.py:277)
     c.FIND_UNUSED_PARAM = True  # DDP flag; no-op under pjit (train_net.py:357)
     c.DEBUG = False
@@ -48,6 +50,7 @@ def get_cfg() -> ConfigNode:
     m.WITH_CAPTION = False
     m.CAP_BATCH_RATIO = 4
     m.DYNAMIC_CLASSIFIER = False
+    m.DATASET_LOSS_WEIGHT = []  # per-dataset loss scale (custom_rcnn.py:197-202)
     m.NUM_SAMPLE_CATS = 50
     m.ROI_BOX_HEAD_2 = ConfigNode()
 

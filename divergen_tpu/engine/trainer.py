@@ -232,9 +232,19 @@ def do_train(cfg, resume: bool = False, max_steps: Optional[int] = None) -> Trai
     data_iter = device_prefetch(
         _chain(first, batches), size=cfg.DATALOADER.PREFETCH_TO_DEVICE
     )
+    # jax.profiler trace window (SURVEY §5: the reference only has fvcore
+    # Timer pairs; on TPU a real profile is one cfg knob away). Traces
+    # iterations [PROFILE_START_ITER, +PROFILE_NUM_ITERS) into
+    # OUTPUT_DIR/profile, viewable with tensorboard / xprof.
+    prof_start = cfg.get("PROFILE_START_ITER", -1)
+    prof_n = cfg.get("PROFILE_NUM_ITERS", 5)
     t_data = time.perf_counter()
     with mesh:
         for it in range(start_iter, max_iter):
+            if prof_start >= 0 and it == prof_start:
+                jax.profiler.start_trace(os.path.join(out_dir, "profile"))
+            if prof_start >= 0 and it == prof_start + prof_n:
+                jax.profiler.stop_trace()
             batch = next(data_iter)
             batch.pop("tfms", None)
             batch = {k: v for k, v in batch.items() if k != "image_ids"}
@@ -277,6 +287,8 @@ def do_train(cfg, resume: bool = False, max_steps: Optional[int] = None) -> Trai
                 do_test(cfg, model=model, state=jax.device_get(state))
             storage.step()
             t_data = time.perf_counter()
+    if prof_start >= 0 and prof_start <= max_iter - 1 < prof_start + prof_n:
+        jax.profiler.stop_trace()  # window extended past the last iteration
     ckpt.wait()  # orbax saves are async; make the final checkpoint durable
     if active:
         a_ckpt.wait()

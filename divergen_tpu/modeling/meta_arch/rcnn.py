@@ -47,6 +47,8 @@ class CustomRCNN(nn.Module):
     remat_backbone: bool = False
     dynamic_classifier: bool = False
     num_sample_cats: int = 50
+    with_image_labels: bool = False
+    dataset_loss_weight: Tuple[float, ...] = ()
 
     def setup(self):
         if self.backbone_name.startswith("res2net"):
@@ -140,6 +142,7 @@ class CustomRCNN(nn.Module):
         return_logits: bool = False,
         ann_type: str = "box",
         cap_emb: Optional[Array] = None,  # (B, zs_dim) caption CLIP embeddings
+        dataset_source: Optional[Array] = None,  # scalar dataset index
     ):
         features = self._features(images)
         if gt_as_proposals:
@@ -246,8 +249,11 @@ class CustomRCNN(nn.Module):
                     cap_idx=cap_idx,
                     cls_inds=cls_inds,
                 )
+                losses = {k: v * 0.0 for k, v in losses.items()}  # :190-194
                 losses.update(weak)
-                return losses
+                return _apply_dataset_loss_weight(
+                    losses, self.dataset_loss_weight, dataset_source
+                )
             roi_losses = self.roi_heads.losses(
                 rng,
                 features,
@@ -258,7 +264,9 @@ class CustomRCNN(nn.Module):
                 cls_inds=cls_inds,
             )
             losses.update(roi_losses)
-            return losses
+            return _apply_dataset_loss_weight(
+                losses, self.dataset_loss_weight, dataset_source
+            )
         else:
             proposals = centernet_proposals(
                 self.centernet_cfg, geom, agn_flat, reg_flat, image_sizes, training=False
@@ -266,6 +274,16 @@ class CustomRCNN(nn.Module):
             return self.roi_heads.inference(
                 features, proposals, image_sizes, return_logits=return_logits
             )
+
+
+def _apply_dataset_loss_weight(losses, weights, dataset_source):
+    """Per-dataset loss scaling (custom_rcnn.py:197-202): every batch comes
+    from one dataset (MDAspectRatioGroupedDataset grouping), so the scale is
+    a scalar pick from the static weight table."""
+    if not weights or dataset_source is None:
+        return losses
+    w = jnp.asarray(weights)[dataset_source]
+    return {k: v * w for k, v in losses.items()}
 
 
 def build_model(cfg) -> CustomRCNN:
@@ -308,6 +326,8 @@ def build_model(cfg) -> CustomRCNN:
         swin_size=swin_size,
         dynamic_classifier=cfg.MODEL.DYNAMIC_CLASSIFIER,
         num_sample_cats=cfg.MODEL.NUM_SAMPLE_CATS,
+        with_image_labels=cfg.WITH_IMAGE_LABELS,
+        dataset_loss_weight=tuple(cfg.MODEL.get("DATASET_LOSS_WEIGHT", [])),
     )
 
 

@@ -54,6 +54,7 @@ class Res5ROIHeads(nn.Module):
             prior_prob=c.prior_prob,
             cls_agnostic=c.cls_agnostic_bbox_reg,
             use_sigmoid_ce=c.use_sigmoid_ce,
+            with_softmax_prop=c.with_softmax_prop,
             dtype=self.dtype,
             name="box_predictor",
         )
@@ -76,7 +77,8 @@ class Res5ROIHeads(nn.Module):
             x = blk(x)
         return x
 
-    def losses(self, rng, features, proposals, gt, fed_weight=None, axis_name=None):
+    def losses(self, rng, features, proposals, gt, fed_weight=None, axis_name=None,
+               cls_inds=None):
         c = self.cfg
         b = proposals["boxes"].shape[0]
         pb = jnp.concatenate([proposals["boxes"], gt["boxes"]], axis=1)
@@ -99,7 +101,7 @@ class Res5ROIHeads(nn.Module):
 
         x = self._res5_features(features, boxes)
         feat = jnp.mean(x, axis=(1, 2))  # global average pool (C4 head)
-        scores, deltas, _ = self.predictor(feat)
+        scores, deltas, _ = self.predictor(feat, None, cls_inds)
         p = boxes.shape[1]
         stage_losses = _fast_rcnn_losses(
             c, k_fed, scores.reshape(b, p, -1), deltas.reshape(b, p, -1), boxes,
@@ -123,6 +125,61 @@ class Res5ROIHeads(nn.Module):
             w = fg.astype(jnp.float32)
             losses["loss_mask"] = jnp.sum(per_roi * w) / jnp.maximum(jnp.sum(w), 1.0)
         return losses
+
+    def image_label_losses(
+        self,
+        features,
+        proposals,
+        image_sizes,
+        labels,
+        labels_valid,
+        ann_type: str = "image",
+        cap_emb=None,
+        cap_idx=None,
+        cls_inds=None,
+    ):
+        """Weak image-box path of CustomRes5ROIHeads
+        (res5_roi_heads.py:70-98 reference): top ws_num_props proposals +
+        optional image box through the shared res5 transform, one stage of
+        Detic image-label losses. Caption columns need the zero-shot head,
+        which the Res5 variant does not build — parity with the reference,
+        which routes captions through the cascade heads."""
+        from ...structures import boxes as box_ops
+        from .cascade_heads import _weak_image_loss
+
+        c = self.cfg
+        b = proposals["boxes"].shape[0]
+        n = min(c.ws_num_props, proposals["boxes"].shape[1])
+        boxes = jax.lax.stop_gradient(proposals["boxes"][:, :n])
+        boxes = jax.vmap(box_ops.clip)(boxes, image_sizes)
+        pvalid = proposals["valid"][:, :n]
+        if c.add_image_box:
+            f = c.image_box_size
+            h = image_sizes[:, 0].astype(jnp.float32)
+            w = image_sizes[:, 1].astype(jnp.float32)
+            ib = jnp.stack(
+                [w * (1 - f) / 2, h * (1 - f) / 2,
+                 w * (1 - (1 - f) / 2), h * (1 - (1 - f) / 2)], axis=-1
+            )
+            boxes = jnp.concatenate([boxes, ib[:, None, :]], axis=1)
+            pvalid = jnp.concatenate([pvalid, jnp.ones((b, 1), bool)], axis=1)
+        x = self._res5_features(features, boxes)
+        feat = jnp.mean(x, axis=(1, 2))
+        scores, _, prop_score = self.predictor(feat)
+        p = boxes.shape[1]
+        scores = scores.reshape(b, p, -1).astype(jnp.float32)
+        if prop_score is not None:
+            prop_score = prop_score.reshape(b, p, -1).astype(jnp.float32)
+        img_loss = _weak_image_loss(c, scores, prop_score, boxes, pvalid, labels, labels_valid)
+        zero = jnp.zeros((), jnp.float32)
+        out = {
+            "image_loss": img_loss * c.image_loss_weight,
+            "loss_cls": zero,
+            "loss_box_reg": zero,
+        }
+        if c.mask_on:
+            out["loss_mask"] = zero
+        return out
 
     def inference(self, features, proposals, image_sizes, return_logits: bool = False):
         c = self.cfg

@@ -131,3 +131,39 @@ def test_dynamic_classifier_train_step():
     )
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
+
+
+def test_res5_image_label_losses():
+    cfg = weak_cfg("max_size")
+    cfg.MODEL.ROI_HEADS.NAME = "CustomRes5ROIHeads"
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p4"]
+    model, params, images, sizes, gt = build_with_labels(cfg)
+    losses = model.apply(
+        params, images, sizes, gt=gt, rng=jax.random.PRNGKey(2), training=True,
+        ann_type="image",
+    )
+    assert np.isfinite(float(losses["image_loss"]))
+    assert float(losses["image_loss"]) > 0.0
+    assert float(losses["loss_cls"]) == 0.0
+
+
+def test_dataset_loss_weight_scaling():
+    cfg = weak_cfg("max_size")
+    cfg.MODEL.DATASET_LOSS_WEIGHT = [1.0, 0.5]
+    model, params, images, sizes, gt = build_with_labels(cfg)
+    l0 = model.apply(params, images, sizes, gt=gt, rng=jax.random.PRNGKey(2),
+                     training=True, dataset_source=jnp.asarray(0))
+    l1 = model.apply(params, images, sizes, gt=gt, rng=jax.random.PRNGKey(2),
+                     training=True, dataset_source=jnp.asarray(1))
+    for k in l0:
+        np.testing.assert_allclose(float(l1[k]), float(l0[k]) * 0.5, rtol=1e-5)
+
+
+def test_weak_batch_zeroes_proposal_losses():
+    cfg = weak_cfg("max_size")
+    model, params, images, sizes, gt = build_with_labels(cfg)
+    losses = model.apply(params, images, sizes, gt=gt, rng=jax.random.PRNGKey(2),
+                         training=True, ann_type="image")
+    # custom_rcnn.py:190-194: non-bbox batches ignore proposal losses
+    assert float(losses["loss_centernet_agn_pos"]) == 0.0
+    assert float(losses["image_loss_stage0"]) > 0.0
