@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -84,3 +85,90 @@ class DLA34(nn.Module):
             if name in self.out_features:
                 outs[name] = x
         return outs
+
+
+class DeformNode(nn.Module):
+    """DCN aggregation node (dlafpn.py:278-300 DeformConv): a plain conv
+    predicts 3x3 offsets+mask (zero-init so it starts as an ordinary conv),
+    then a modulated deformable conv + norm + relu."""
+
+    channels: int
+    norm: str = "FrozenBN"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from ...ops.deform_conv import deform_conv2d
+        from ..layers import get_norm
+
+        off_mask = nn.Conv(
+            27, (3, 3), padding=1,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="offset",
+        )(x)
+        # reference channel layout: (offset_x, offset_y, mask) thirds;
+        # deform_conv2d wants (dy, dx) interleaved per tap
+        off_x, off_y, mask = jnp.split(off_mask.astype(jnp.float32), 3, axis=-1)
+        offset = jnp.stack([off_y, off_x], axis=-1).reshape(*off_x.shape[:-1], 18)
+        mask = jax.nn.sigmoid(mask)
+        kernel = self.param(
+            "kernel", nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (3, 3, x.shape[-1], self.channels),
+        )
+        y = deform_conv2d(
+            x.astype(jnp.float32), offset, kernel.astype(jnp.float32),
+            mask=mask, stride=1, padding=1,
+        ).astype(self.dtype)
+        norm = get_norm(self.norm, self.channels)
+        if norm is not None:
+            y = norm(y)
+        return nn.relu(y)
+
+
+class IDAUp(nn.Module):
+    """Iterative deep aggregation (dlafpn.py IDAUp): project each finer
+    level to `channels`, 2x-upsample, fuse with the previous level through a
+    node (conv or dcn)."""
+
+    channels: int
+    node_type: str = "conv"  # 'conv' | 'dcn'
+    norm: str = "FrozenBN"
+    dtype: Any = jnp.float32
+
+    def _node(self, name):
+        if self.node_type == "dcn":
+            return DeformNode(self.channels, self.norm, self.dtype, name=name)
+        return ConvNorm(self.channels, 3, 1, self.norm, nn.relu, dtype=self.dtype, name=name)
+
+    @nn.compact
+    def __call__(self, layers: Sequence[Array]) -> Array:
+        """layers: coarse→fine? No — fine→coarse list [l0 (finest) ... ];
+        returns the aggregated finest-resolution map (upsampling each
+        coarser level into the previous one, dlafpn.py:320-327)."""
+        out = self._node("proj_0")(layers[0])
+        for i, l in enumerate(layers[1:], start=1):
+            proj = self._node(f"proj_{i}")(l)
+            b, h, w, c = proj.shape
+            up = jax.image.resize(proj, (b, 2 ** i * h, 2 ** i * w, c), "bilinear")
+            up = up[:, : out.shape[1], : out.shape[2]]
+            out = self._node(f"node_{i}")(up + out)
+        return out
+
+
+class DLAUp(nn.Module):
+    """Top-down aggregation over the DLA stage outputs with optional DCN
+    nodes (DLAUP_NODE_MAP 'conv'/'dcn', dlafpn.py:332-335)."""
+
+    out_channels: int = 64
+    node_type: str = "conv"
+    norm: str = "FrozenBN"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Dict[str, Array]) -> Dict[str, Array]:
+        names = sorted(features)  # dla2..dla5 fine→coarse
+        layers = [features[n] for n in names]
+        fused = IDAUp(
+            self.out_channels, self.node_type, self.norm, self.dtype, name="ida"
+        )(layers)
+        return {"dlaup": fused, **features}

@@ -75,7 +75,8 @@ class CustomRCNN(nn.Module):
             from ..backbone.swin import SwinTransformer
 
             body = SwinTransformer.from_size(
-                self.swin_size, dtype=self.compute_dtype, name="bottom_up"
+                self.swin_size, dtype=self.compute_dtype,
+                remat=self.remat_backbone, name="bottom_up",
             )
         elif self.backbone_name == "convnext":
             from ..backbone.convnext import ConvNeXt
@@ -328,6 +329,7 @@ def build_model(cfg) -> CustomRCNN:
         num_sample_cats=cfg.MODEL.NUM_SAMPLE_CATS,
         with_image_labels=cfg.WITH_IMAGE_LABELS,
         dataset_loss_weight=tuple(cfg.MODEL.get("DATASET_LOSS_WEIGHT", [])),
+        remat_backbone=cfg.MODEL.SWIN.USE_CHECKPOINT,
     )
 
 

@@ -2,14 +2,21 @@
 
 TPU-native replacement for the torchvision CUDA ``roi_align`` used by
 detectron2 (``detectron2/layers/roi_align.py:3``) and its ``ROIPooler``
-(``detectron2/modeling/poolers.py``). The CUDA kernel walks boxes with
-dynamic bin sampling; here it is a vmapped bilinear gather on a static
-``(out, out, 2x2 samples)`` grid — XLA lowers the gathers to efficient
-dynamic-slices and fuses the bilinear arithmetic onto the VPU.
+(``detectron2/modeling/poolers.py``).
 
-Semantics match ROIAlignV2 (``aligned=True``): half-pixel offset, 2x2
-sampling grid per bin (sampling_ratio fixed at 2, the effective value the
-reference uses for its 7/14-px outputs), average-pooled.
+Design: bilinear sampling is separable, so ROIAlign for one roi is exactly
+``A_y @ fmap @ A_xᵀ`` where ``A_y (out, H)`` / ``A_x (out, W)`` are dense
+per-roi interpolation matrices (each row is the bin's averaged bilinear
+weight profile, ``mean_s relu(1 - |pos - h|)``). Two batched matmuls on the
+MXU replace the CUDA kernel's scattered reads — the previous vmapped-gather
+formulation cost 31 ms per cascade stage at Swin-L train shapes on v5e; the
+matmul form is bandwidth/compute-proportional and its backward is also pure
+matmuls (the gather backward scatter-adds were even slower than its
+forward).
+
+Semantics match ROIAlignV2 (``aligned=True``): half-pixel offset, s×s
+sampling grid per bin (sampling_ratio 2), average-pooled, zero contribution
+outside the feature map.
 """
 from __future__ import annotations
 
@@ -20,6 +27,23 @@ from typing import Dict, Sequence
 import jax
 import jax.numpy as jnp
 from jax import Array
+
+
+def _interp_matrix(start: Array, size: Array, n_out: int, s: int, extent: int) -> Array:
+    """Per-roi 1D interpolation matrix.
+
+    start/size: (R,) roi start & length in feature coords (aligned=True
+    offsets already applied). Returns (R, n_out, extent): row i holds the
+    average of the s bilinear sample kernels of output bin i. Samples
+    outside [-1, extent] get zero weight — identical to the masked-gather
+    semantics (a sample at -0.5 contributes 0.5·f[0]).
+    """
+    n_pts = n_out * s
+    rel = (jnp.arange(n_pts, dtype=jnp.float32) + 0.5) / n_pts
+    pos = start[:, None] + rel[None, :] * size[:, None]  # (R, n_pts)
+    grid = jnp.arange(extent, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, :, None] - grid[None, None, :]))
+    return w.reshape(-1, n_out, s, extent).mean(axis=2)  # (R, n_out, extent)
 
 
 def roi_align(
@@ -40,53 +64,21 @@ def roi_align(
       (N, output_size, output_size, C)
     """
     h, w, _ = features.shape
-    s = sampling_ratio
-    # Sample points: output_size*s per side, at bin-interior offsets.
-    n_pts = output_size * s
-    # offsets within [0, 1) of the roi, at centers of s sub-bins per bin
-    rel = (jnp.arange(n_pts, dtype=jnp.float32) + 0.5) / n_pts
-
-    def one_box(box: Array) -> Array:
-        # aligned=True: shift by half a pixel in feature coords
-        x1 = box[0] * spatial_scale - 0.5
-        y1 = box[1] * spatial_scale - 0.5
-        x2 = box[2] * spatial_scale - 0.5
-        y2 = box[3] * spatial_scale - 0.5
-        roi_w = jnp.maximum(x2 - x1, 1e-6)
-        roi_h = jnp.maximum(y2 - y1, 1e-6)
-        ys = y1 + rel * roi_h  # (n_pts,)
-        xs = x1 + rel * roi_w
-        sampled = _bilinear_gather(features, ys, xs)  # (n_pts, n_pts, C)
-        # average the s x s sub-samples of each bin
-        sampled = sampled.reshape(output_size, s, output_size, s, -1)
-        return sampled.mean(axis=(1, 3))
-
-    return jax.vmap(one_box)(boxes)
-
-
-def _bilinear_gather(features: Array, ys: Array, xs: Array) -> Array:
-    """Sample (H, W, C) at the outer product grid ys x xs, zero outside."""
-    h, w, _ = features.shape
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    ly = ys - y0
-    lx = xs - x0
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-
-    def take(yi, xi):
-        yv = (yi >= 0) & (yi < h)
-        xv = (xi >= 0) & (xi < w)
-        vals = features[jnp.clip(yi, 0, h - 1)][:, jnp.clip(xi, 0, w - 1)]
-        return vals * (yv[:, None] & xv[None, :])[..., None]
-
-    v00 = take(y0i, x0i)
-    v01 = take(y0i, x0i + 1)
-    v10 = take(y0i + 1, x0i)
-    v11 = take(y0i + 1, x0i + 1)
-    top = v00 * (1 - lx)[None, :, None] + v01 * lx[None, :, None]
-    bot = v10 * (1 - lx)[None, :, None] + v11 * lx[None, :, None]
-    return top * (1 - ly)[:, None, None] + bot * ly[:, None, None]
+    # aligned=True: shift by half a pixel in feature coords
+    x1 = boxes[:, 0] * spatial_scale - 0.5
+    y1 = boxes[:, 1] * spatial_scale - 0.5
+    roi_w = jnp.maximum((boxes[:, 2] - boxes[:, 0]) * spatial_scale, 1e-6)
+    roi_h = jnp.maximum((boxes[:, 3] - boxes[:, 1]) * spatial_scale, 1e-6)
+    a_y = _interp_matrix(y1, roi_h, output_size, sampling_ratio, h)  # (R, out, H)
+    a_x = _interp_matrix(x1, roi_w, output_size, sampling_ratio, w)  # (R, out, W)
+    a_y = a_y.astype(features.dtype)
+    a_x = a_x.astype(features.dtype)
+    # rows: contract H on the MXU; then columns: batched contract W
+    t = jnp.einsum("rih,hwc->riwc", a_y, features,
+                   preferred_element_type=jnp.float32)
+    out = jnp.einsum("riwc,rjw->rijc", t.astype(features.dtype), a_x,
+                     preferred_element_type=jnp.float32)
+    return out.astype(features.dtype)
 
 
 def assign_boxes_to_levels(
@@ -114,10 +106,10 @@ def multilevel_roi_align(
     """ROIPooler: align each box on its assigned FPN level.
 
     The CUDA pooler gathers each level's boxes with dynamic indexing; under
-    XLA we compute the (cheap) align on *every* level and select by the level
-    assignment — trading a small constant-factor gather cost for fully static
-    shapes and no data-dependent reshuffling. The heads that follow dominate
-    the FLOPs, so this is noise on the profile.
+    XLA we compute the align on *every* level and select by the level
+    assignment — static shapes, no data-dependent reshuffling, and with the
+    separable-matmul ``roi_align`` the redundant levels are cheap (the
+    finest level dominates the contraction cost anyway).
     """
     # strides are static Python ints; use host math so the level index stays
     # static under jit (jnp.log2 would stage a tracer post-omnistaging)

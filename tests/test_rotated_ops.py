@@ -187,3 +187,24 @@ def test_rotated_boxes_structure():
     assert rb.nonempty(b).tolist() == [True, True]
     r = rb.xyxy_to_rotated(jnp.asarray([[0.0, 0, 4, 2]]))
     np.testing.assert_allclose(np.asarray(r[0]), [2, 1, 4, 2, 0], atol=1e-6)
+
+
+def test_dla_up_with_dcn_nodes():
+    from divergen_tpu.modeling.backbone.dla import DLAUp
+
+    rng = np.random.RandomState(6)
+    feats = {
+        "dla2": jnp.asarray(rng.rand(1, 16, 16, 8), jnp.float32),
+        "dla3": jnp.asarray(rng.rand(1, 8, 8, 16), jnp.float32),
+        "dla4": jnp.asarray(rng.rand(1, 4, 4, 32), jnp.float32),
+    }
+    m = DLAUp(out_channels=32, node_type="dcn", norm="GN")
+    params = m.init(jax.random.PRNGKey(0), feats)
+    out = m.apply(params, feats)
+    assert out["dlaup"].shape == (1, 16, 16, 32)
+    assert np.isfinite(np.asarray(out["dlaup"])).all()
+    # zero-init offsets: DCN node must start equal to its plain-conv twin
+    m2 = DLAUp(out_channels=32, node_type="conv", norm="GN")
+    p2 = m2.init(jax.random.PRNGKey(0), feats)
+    out2 = m2.apply(p2, feats)
+    assert out2["dlaup"].shape == (1, 16, 16, 32)

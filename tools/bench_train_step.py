@@ -1,0 +1,116 @@
+"""Time the flagship detector train step on the real TPU.
+
+Swin 896² CustomRCNN (DiverGen_swinL.yaml geometry) fwd+bwd+adamw, timed
+with the scan-chain difference method (axon dispatch RTT would otherwise
+dominate). Prints seconds/step and images/hr/chip.
+
+Usage: python tools/bench_train_step.py [--size L] [--batch 2] [--img 896]
+"""
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="L")
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--img", type=int, default=896)
+    ap.add_argument("--instances", type=int, default=64)
+    ap.add_argument("--mode", default="full",
+                    choices=["full", "backbone", "nomask", "gtprop"])
+    ap.add_argument("--no_remat", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from divergen_tpu.config import get_cfg
+    from divergen_tpu.modeling.meta_arch.rcnn import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.NAME = "build_swintransformer_fpn_backbone"
+    cfg.MODEL.SWIN.SIZE = args.size
+    cfg.FP16 = True  # bf16 compute path
+    cfg.MODEL.SWIN.USE_CHECKPOINT = not args.no_remat  # remat trades HBM for recompute
+    if args.mode == "nomask":
+        cfg.MODEL.MASK_ON = False
+    model = build_model(cfg)
+
+    b, s, n = args.batch, args.img, args.instances
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(b, s, s, 3) * 255, jnp.float32)
+    sizes = jnp.asarray([[s, s]] * b, jnp.int32)
+    xy = rng.rand(b, n, 2) * (s - 100)
+    wh = rng.rand(b, n, 2) * 80 + 16
+    gt = {
+        "boxes": jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32),
+        "classes": jnp.asarray(rng.randint(0, 1203, (b, n)), jnp.int32),
+        "valid": jnp.asarray(np.broadcast_to(np.arange(n)[None] < 20, (b, n))),
+        "masks": jnp.asarray((rng.rand(b, n, 28, 28) > 0.5).astype(np.float32)),
+        "instance_source": jnp.zeros((b, n), jnp.int32),
+    }
+
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda: model.init(key, images, sizes, gt=gt, rng=key, training=True)
+    )()
+    tx = optax.adamw(1e-4)
+    opt_state = jax.jit(tx.init)(params)
+    print("params:", sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params)) / 1e6,
+          "M", flush=True)
+
+    def loss_fn(p, k):
+        if args.mode == "backbone":
+            feats = model.apply(p, images, sizes, gt=gt, rng=k, training=True,
+                                method=lambda m, *a, **kw: m._features(a[0]))
+            return sum(jnp.sum(jnp.abs(f.astype(jnp.float32))) for f in feats.values()) * 1e-6
+        losses = model.apply(p, images, sizes, gt=gt, rng=k, training=True,
+                             gt_as_proposals=(args.mode == "gtprop"))
+        return sum(jax.tree_util.tree_leaves(losses))
+
+    def one_step(carry, i):
+        p, o = carry
+        k = jax.random.fold_in(key, i)
+        loss, grads = jax.value_and_grad(loss_fn)(p, k)
+        updates, o = tx.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        return (p, o), loss
+
+    runners = {}
+
+    def make(kk):
+        @jax.jit
+        def run(p, o):
+            (p, o), losses = jax.lax.scan(one_step, (p, o), jnp.arange(kk))
+            return losses[-1]
+
+        return run
+
+    def timed(kk):
+        if kk not in runners:
+            runners[kk] = make(kk)
+        t0 = time.perf_counter()
+        out = runners[kk](params, opt_state)
+        _ = float(np.asarray(out))
+        return time.perf_counter() - t0
+
+    print("compiling...", flush=True)
+    _ = timed(1)
+    t1 = min(timed(1) for _ in range(2))
+    t3 = min(timed(3) for _ in range(2))
+    per_step = (t3 - t1) / 2
+    print(
+        f"swin-{args.size} {s}x{s} b{b} {args.mode}: {per_step * 1e3:.1f} ms/step, "
+        f"{3600.0 / per_step * b:.0f} imgs/hr/chip",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
