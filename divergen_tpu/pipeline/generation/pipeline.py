@@ -41,6 +41,7 @@ class SDXLPipeline:
         scheduler: Optional[SchedulerConfig] = None,
         steps: int = 50,
         guidance_scale: float = 7.5,
+        encoder_reuse: bool = False,
     ):
         self.unet = unet
         self.unet_params = unet_params
@@ -49,6 +50,12 @@ class SDXLPipeline:
         self.sched = scheduler or make_scheduler("scaled_linear")
         self.steps = steps
         self.guidance = guidance_scale
+        # Faster-Diffusion encoder reuse (arXiv:2312.09608, PAPERS.md):
+        # even steps run the full UNet and cache the down-path features;
+        # odd steps re-run only mid+up on the cache with the new timestep.
+        # ~35% of the UNet is skipped on reuse steps; opt-in because the
+        # outputs approximate (closely) the exact 50-step trajectory.
+        self.encoder_reuse = encoder_reuse
         ts, sigmas = euler_sigmas(self.sched, steps)
         self._ts = jnp.asarray(ts, jnp.float32)
         self._sigmas = jnp.asarray(sigmas, jnp.float32)
@@ -60,27 +67,62 @@ class SDXLPipeline:
         sigmas = self._sigmas
         ts = self._ts
 
-        def body(lat, i):
+        ctx = jnp.concatenate([uncond_context, context], axis=0)
+        pl = (
+            jnp.concatenate([uncond_pooled, pooled], axis=0)
+            if pooled is not None
+            else None
+        )
+        tid = jnp.concatenate([time_ids, time_ids], axis=0) if time_ids is not None else None
+
+        def unet_in(lat, i):
             sigma = sigmas[i]
             x = euler_scale_input(lat, sigma)
             t = jnp.broadcast_to(ts[i], (lat.shape[0],))
-            # CFG: batch cond + uncond through one UNet call
-            x2 = jnp.concatenate([x, x], axis=0)
-            t2 = jnp.concatenate([t, t], axis=0)
-            ctx = jnp.concatenate([uncond_context, context], axis=0)
-            pl = (
-                jnp.concatenate([uncond_pooled, pooled], axis=0)
-                if pooled is not None
-                else None
-            )
-            tid = jnp.concatenate([time_ids, time_ids], axis=0) if time_ids is not None else None
-            eps2 = self.unet.apply(unet_params, x2, t2, ctx, pl, tid)
+            return jnp.concatenate([x, x], axis=0), jnp.concatenate([t, t], axis=0)
+
+        def cfg_step(lat, i, eps2):
             eps_u, eps_c = jnp.split(eps2, 2, axis=0)
             eps = eps_u + g * (eps_c - eps_u)
-            lat = euler_step(lat, eps.astype(lat.dtype), sigma, sigmas[i + 1])
-            return lat, None
+            return euler_step(lat, eps.astype(lat.dtype), sigmas[i], sigmas[i + 1])
 
-        latents, _ = jax.lax.scan(body, latents, jnp.arange(self.steps))
+        if not self.encoder_reuse:
+
+            def body(lat, i):
+                x2, t2 = unet_in(lat, i)
+                eps2 = self.unet.apply(unet_params, x2, t2, ctx, pl, tid)
+                return cfg_step(lat, i, eps2), None
+
+            latents, _ = jax.lax.scan(body, latents, jnp.arange(self.steps))
+            return latents
+
+        # encoder-reuse path: carry the cached down-path features
+        x2_0, t2_0 = unet_in(latents, 0)
+        _, cache0 = self.unet.apply(
+            unet_params, x2_0, t2_0, ctx, pl, tid, return_encoder=True
+        )
+
+        def body(carry, i):
+            lat, cache = carry
+
+            def full(lat, cache):
+                x2, t2 = unet_in(lat, i)
+                eps2, cache = self.unet.apply(
+                    unet_params, x2, t2, ctx, pl, tid, return_encoder=True
+                )
+                return cfg_step(lat, i, eps2), cache
+
+            def reuse(lat, cache):
+                x2, t2 = unet_in(lat, i)
+                eps2 = self.unet.apply(
+                    unet_params, x2, t2, ctx, pl, tid, cached_encoder=cache
+                )
+                return cfg_step(lat, i, eps2), cache
+
+            lat, cache = jax.lax.cond(i % 2 == 0, full, reuse, lat, cache)
+            return (lat, cache), None
+
+        (latents, _), _ = jax.lax.scan(body, (latents, cache0), jnp.arange(self.steps))
         return latents
 
     def generate(

@@ -42,6 +42,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--guidance", type=float, default=7.5)
     p.add_argument("--tiny", action="store_true", help="tiny random model (smoke/test)")
+    p.add_argument("--encoder_reuse", action="store_true",
+                   help="Faster-Diffusion encoder reuse: skip the UNet down "
+                        "path on odd steps (~1.2x faster, approximate)")
     return p
 
 
@@ -82,7 +85,9 @@ def _build_pipeline(args):
         unet_params = unet.init(rng, lat, jnp.zeros((1,)), ctx, pooled, tids)
     vae_params = vae.init(rng, jnp.zeros((1, h, h, 4)))
     return SDXLPipeline(
-        unet, unet_params, vae, vae_params, steps=args.steps, guidance_scale=args.guidance
+        unet, unet_params, vae, vae_params, steps=args.steps,
+        guidance_scale=args.guidance,
+        encoder_reuse=getattr(args, "encoder_reuse", False),
     ), ctx_dim
 
 

@@ -168,7 +168,15 @@ class UNetSDXL(nn.Module):
         context: Array,  # (B, L, context_dim) text hidden states
         pooled_text: Optional[Array] = None,  # (B, 1280)
         time_ids: Optional[Array] = None,  # (B, 6)
-    ) -> Array:
+        cached_encoder: Optional[Tuple[Array, Tuple[Array, ...]]] = None,
+        return_encoder: bool = False,
+    ):
+        """``cached_encoder``/``return_encoder`` implement Faster-Diffusion
+        style encoder reuse (arXiv:2312.09608, PAPERS.md): at non-key
+        denoise steps the down-path features change little, so the decoder
+        re-runs on cached ``(x_after_down, skips)`` with the new time
+        embedding while the whole encoder is skipped. Opt-in — the default
+        path is the exact SDXL UNet."""
         ch0 = self.block_channels[0]
         temb_dim = 4 * ch0  # 1280
         t_emb = timestep_embedding(timesteps, ch0)
@@ -184,23 +192,29 @@ class UNetSDXL(nn.Module):
             emb = emb + add
 
         context = context.astype(self.dtype)
-        x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(
-            latents.astype(self.dtype)
-        )
-        skips = [x]
-        # down
-        for lvl, ch in enumerate(self.block_channels):
-            for i in range(self.layers_per_block):
-                x = ResBlock(ch, self.dtype, name=f"down{lvl}_res{i}")(x, emb)
-                if self.transformer_depths[lvl]:
-                    x = SpatialTransformer(
-                        ch, ch // self.head_dim, self.transformer_depths[lvl],
-                        self.dtype, name=f"down{lvl}_attn{i}",
-                    )(x, context)
-                skips.append(x)
-            if lvl < len(self.block_channels) - 1:
-                x = Downsample(ch, self.dtype, name=f"down{lvl}_ds")(x)
-                skips.append(x)
+        if cached_encoder is None:
+            x = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(
+                latents.astype(self.dtype)
+            )
+            skips = [x]
+            # down
+            for lvl, ch in enumerate(self.block_channels):
+                for i in range(self.layers_per_block):
+                    x = ResBlock(ch, self.dtype, name=f"down{lvl}_res{i}")(x, emb)
+                    if self.transformer_depths[lvl]:
+                        x = SpatialTransformer(
+                            ch, ch // self.head_dim, self.transformer_depths[lvl],
+                            self.dtype, name=f"down{lvl}_attn{i}",
+                        )(x, context)
+                    skips.append(x)
+                if lvl < len(self.block_channels) - 1:
+                    x = Downsample(ch, self.dtype, name=f"down{lvl}_ds")(x)
+                    skips.append(x)
+        else:
+            x, cached_skips = cached_encoder
+            x = x.astype(self.dtype)
+            skips = [s.astype(self.dtype) for s in cached_skips]
+        encoder_state = (x, tuple(skips))
         # mid
         ch = self.block_channels[-1]
         x = ResBlock(ch, self.dtype, name="mid_res0")(x, emb)
@@ -223,6 +237,8 @@ class UNetSDXL(nn.Module):
                 x = Upsample(ch, self.dtype, name=f"up{lvl}_us")(x)
         x = nn.silu(GroupNorm32(dtype=self.dtype, name="norm_out")(x))
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(x)
+        if return_encoder:
+            return x, encoder_state
         return x
 
     @classmethod
