@@ -42,6 +42,7 @@ class SDXLPipeline:
         steps: int = 50,
         guidance_scale: float = 7.5,
         encoder_reuse: bool = False,
+        mesh=None,  # jax.sharding.Mesh with a "data" axis → batch sharded
     ):
         self.unet = unet
         self.unet_params = unet_params
@@ -56,6 +57,19 @@ class SDXLPipeline:
         # ~35% of the UNet is skipped on reuse steps; opt-in because the
         # outputs approximate (closely) the exact 50-step trajectory.
         self.encoder_reuse = encoder_reuse
+        # multi-chip generation: batch dim sharded over the mesh's "data"
+        # axis, params replicated; GSPMD partitions the whole denoise scan
+        # (no collectives needed — generation is embarrassingly parallel
+        # over images, the mesh just scales batch throughput per host)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self._replicated = NamedSharding(mesh, P())
+            self.unet_params = jax.device_put(self.unet_params, self._replicated)
+            if self.vae_params is not None:
+                self.vae_params = jax.device_put(self.vae_params, self._replicated)
         ts, sigmas = euler_sigmas(self.sched, steps)
         self._ts = jnp.asarray(ts, jnp.float32)
         self._sigmas = jnp.asarray(sigmas, jnp.float32)
@@ -142,6 +156,13 @@ class SDXLPipeline:
             jax.random.normal(rng, lat_shape, jnp.float32)
             * euler_init_noise_scale(np.asarray(self._sigmas))
         )
+        if self.mesh is not None:
+            latents = jax.device_put(latents, self._batch_sharding)
+            context = jax.device_put(context, self._batch_sharding)
+            uncond_context = jax.device_put(uncond_context, self._batch_sharding)
+            if pooled is not None:
+                pooled = jax.device_put(pooled, self._batch_sharding)
+                uncond_pooled = jax.device_put(uncond_pooled, self._batch_sharding)
         time_ids = None
         if pooled is not None:
             # SDXL micro-conditioning: (orig_h, orig_w, crop_y, crop_x, tgt_h, tgt_w)

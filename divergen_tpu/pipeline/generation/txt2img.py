@@ -45,6 +45,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--encoder_reuse", action="store_true",
                    help="Faster-Diffusion encoder reuse: skip the UNet down "
                         "path on odd steps (~1.2x faster, approximate)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the generation batch over all local chips "
+                        "(jax.sharding Mesh on the 'data' axis)")
     return p
 
 
@@ -84,10 +87,17 @@ def _build_pipeline(args):
     else:
         unet_params = unet.init(rng, lat, jnp.zeros((1,)), ctx, pooled, tids)
     vae_params = vae.init(rng, jnp.zeros((1, h, h, 4)))
+    mesh = None
+    if getattr(args, "data_parallel", False) and len(jax.devices()) > 1:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(_np.array(jax.devices()), ("data",))
     return SDXLPipeline(
         unet, unet_params, vae, vae_params, steps=args.steps,
         guidance_scale=args.guidance,
         encoder_reuse=getattr(args, "encoder_reuse", False),
+        mesh=mesh,
     ), ctx_dim
 
 

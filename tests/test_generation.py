@@ -159,3 +159,27 @@ def test_pipeline_encoder_reuse_runs():
     pipe2 = SDXLPipeline(unet, up, vae, vp, steps=4, encoder_reuse=False)
     out2 = pipe2.generate(rng, ctx, ctx, height=64, width=64, decode=False)
     assert out2.shape == out.shape
+
+
+def test_pipeline_mesh_sharded_generation():
+    """Multi-chip generation: batch sharded over the 8-device CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from divergen_tpu.pipeline.generation.pipeline import SDXLPipeline
+    from divergen_tpu.pipeline.generation.unet import UNetSDXL
+
+    unet = UNetSDXL.tiny(dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, 8, 8, 4))
+    ctx1 = jnp.zeros((1, 7, 64))
+    up = unet.init(rng, lat, jnp.zeros((1,)), ctx1)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    pipe = SDXLPipeline(unet, up, None, None, steps=2, mesh=mesh)
+    ctx = jnp.zeros((8, 7, 64))
+    out = pipe.generate(rng, ctx, ctx, height=64, width=64, decode=False)
+    assert out.shape == (8, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # the result really is sharded over data
+    assert len(out.sharding.device_set) == 8
