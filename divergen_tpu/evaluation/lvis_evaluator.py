@@ -92,10 +92,15 @@ class LVISEvaluator:
                 }
                 if masks is not None and oh is not None:
                     prob = 1.0 / (1.0 + np.exp(-masks[i]))
-                    rec["segmentation"] = rle_encode(
-                        paste_mask_np(prob, boxes[i], oh, ow)
-                    )
-                    rec["segmentation"]["counts"] = rec["segmentation"]["counts"].decode()
+                    # fused native paste+encode (native/mask_codec.cpp);
+                    # numpy paste_mask_np + rle_encode otherwise
+                    from ..native import paste_mask_rle
+
+                    rle = paste_mask_rle(prob, boxes[i], oh, ow)
+                    if rle is None:
+                        rle = rle_encode(paste_mask_np(prob, boxes[i], oh, ow))
+                        rle["counts"] = rle["counts"].decode()
+                    rec["segmentation"] = rle
                 self._predictions.append(rec)
 
     def evaluate(self) -> Dict[str, Dict[str, float]]:

@@ -21,19 +21,23 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 _SRC = os.path.join(os.path.dirname(__file__), "cocoeval.cpp")
+_SRC2 = os.path.join(os.path.dirname(__file__), "mask_codec.cpp")
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
 def _build() -> Optional[str]:
-    with open(_SRC, "rb") as f:
-        tag = hashlib.sha1(f.read()).hexdigest()[:12]
+    h = hashlib.sha1()
+    for path in (_SRC, _SRC2):
+        with open(path, "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:12]
     cache = os.path.join(os.path.expanduser("~"), ".cache", "divergen_tpu")
     os.makedirs(cache, exist_ok=True)
     so = os.path.join(cache, f"libcocoeval_{tag}.so")
     if os.path.exists(so):
         return so
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", so + ".tmp"]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, _SRC2, "-o", so + ".tmp"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(so + ".tmp", so)
@@ -63,6 +67,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.rle_from_string.restype = i64
             lib.rle_from_string.argtypes = [
                 ctypes.c_char_p, i64, ctypes.c_void_p,
+            ]
+            lib.paste_mask_rle.restype = i64
+            lib.paste_mask_rle.argtypes = [
+                ctypes.c_void_p, i64, i64, ctypes.c_void_p, i64, i64,
+                ctypes.c_float, ctypes.c_void_p, i64,
+            ]
+            lib.rle_counts_to_string.restype = i64
+            lib.rle_counts_to_string.argtypes = [
+                ctypes.c_void_p, i64, ctypes.c_char_p, i64,
+            ]
+            lib.rle_string_to_counts.restype = i64
+            lib.rle_string_to_counts.argtypes = [
+                ctypes.c_char_p, i64, ctypes.c_void_p, i64,
             ]
             _lib = lib
     return _lib
@@ -128,3 +145,32 @@ def rle_iou_matrix(dets: List[dict], gts: List[dict], iscrowd: np.ndarray) -> Op
         _ptr(ic), _ptr(out),
     )
     return out
+
+
+def paste_mask_rle(prob: np.ndarray, box: np.ndarray, h: int, w: int,
+                   thresh: float = 0.5) -> Optional[dict]:
+    """Fused paste + compressed-RLE encode of one detection mask.
+
+    Equivalent to ``rle_encode(paste_mask_np(prob, box, h, w))`` but never
+    materializes the (h, w) canvas (native/mask_codec.cpp). Returns a
+    pycocotools-style {"size", "counts": str} dict, or None when the native
+    lib is unavailable (caller falls back to the numpy path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    prob = np.ascontiguousarray(prob, np.float32)
+    box = np.ascontiguousarray(box, np.float32)
+    # runs per pasted column are bounded by the crop's row count (each
+    # threshold crossing of the upsampled profile), so ~2*mh+4 per column
+    cap = int(w) * (2 * int(prob.shape[0]) + 4) + 16
+    counts = np.zeros(cap, np.int64)
+    m = lib.paste_mask_rle(_ptr(prob), prob.shape[0], prob.shape[1], _ptr(box),
+                           h, w, ctypes.c_float(thresh), _ptr(counts), cap)
+    if m < 0:  # capacity exceeded (degenerate mask) — let caller fall back
+        return None
+    scap = int(m) * 12 + 16
+    s = ctypes.create_string_buffer(scap)
+    n = lib.rle_counts_to_string(_ptr(counts), m, s, scap)
+    if n < 0:
+        return None
+    return {"size": [int(h), int(w)], "counts": s.raw[: int(n)].decode()}

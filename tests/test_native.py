@@ -76,3 +76,67 @@ def test_rle_string_decode_roundtrip(rng):
     np.testing.assert_array_equal(
         _runs_of(rle), np.asarray(_string_to_counts(rle["counts"]), np.uint32)
     )
+
+
+def test_paste_mask_rle_matches_numpy():
+    """Native fused paste+RLE == numpy paste_mask_np → rle_encode."""
+    from divergen_tpu.evaluation.lvis_evaluator import paste_mask_np
+    from divergen_tpu.native import get_lib, paste_mask_rle
+    from divergen_tpu.utils.mask_codec import rle_decode, rle_encode
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.RandomState(0)
+    for trial, (h, w) in enumerate([(64, 80), (128, 96), (50, 50)]):
+        prob = rng.rand(28, 28).astype(np.float32)
+        box = np.array(
+            [rng.rand() * w * 0.5, rng.rand() * h * 0.5, 0, 0], np.float32
+        )
+        box[2] = box[0] + rng.rand() * w * 0.6 + 2
+        box[3] = box[1] + rng.rand() * h * 0.6 + 2
+        native = paste_mask_rle(prob, box, h, w)
+        ref_mask = paste_mask_np(prob, box, h, w)
+        ref = rle_encode(ref_mask)
+        got_mask = rle_decode({"size": native["size"], "counts": native["counts"]})
+        # bilinear tie-breaking at threshold can differ by a hair between
+        # cv2 and the native resampler — demand near-exact agreement
+        diff = int(np.sum(got_mask != ref_mask))
+        assert diff <= max(4, int(0.002 * ref_mask.sum() + 1)), (trial, diff)
+        assert native["size"] == ref["size"]
+
+
+def test_paste_mask_rle_degenerate_box():
+    from divergen_tpu.native import get_lib, paste_mask_rle
+    from divergen_tpu.utils.mask_codec import rle_decode
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    prob = np.ones((28, 28), np.float32)
+    out = paste_mask_rle(prob, np.array([90.0, 90.0, 91.0, 91.0]), 64, 64)
+    m = rle_decode({"size": out["size"], "counts": out["counts"]})
+    assert m.sum() == 0  # fully out of frame -> empty mask
+
+
+def test_native_string_roundtrip():
+    from divergen_tpu.native import get_lib, _ptr
+    from divergen_tpu.utils.mask_codec import _counts_to_string, _string_to_counts
+    import ctypes
+
+    lib = get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    runs = [0, 5, 100, 3, 77, 1, 100000, 2]
+    arr = np.asarray(runs, np.int64)
+    buf = ctypes.create_string_buffer(256)
+    n = lib.rle_counts_to_string(_ptr(arr), len(runs), buf, 256)
+    assert buf.raw[:n] == _counts_to_string(runs)
+    out = np.zeros(32, np.int64)
+    m = lib.rle_string_to_counts(buf.raw[:n], n, _ptr(out), 32)
+    assert out[:m].tolist() == runs
+    assert _string_to_counts(buf.raw[:n]) == runs
