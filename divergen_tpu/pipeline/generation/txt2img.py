@@ -101,6 +101,29 @@ def _build_pipeline(args):
     ), ctx_dim
 
 
+def _build_upscaler(args):
+    """Stage-III x4 upscale pipeline (SD-x4-upscaler geometry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .upscale import UpscalePipeline, upscaler_unet
+    from .vae import VAEDecoder
+
+    unet = upscaler_unet(dtype=jnp.bfloat16, tiny=args.tiny)
+    # the x4 upscaler VAE has 3 scales → 4x decode (not the 8x SDXL VAE)
+    vae = VAEDecoder(channels=(8, 8, 8) if args.tiny else (128, 256, 512),
+                     dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(1)
+    hl = max(args.height // 16, 8)
+    lat = jnp.zeros((1, hl, hl, 7))
+    ctx = jnp.zeros((1, 77, unet.context_dim))
+    unet_params = unet.init(rng, lat, jnp.zeros((1,)), ctx)
+    vae_params = vae.init(rng, jnp.zeros((1, hl, hl, 4)))
+    pipe = UpscalePipeline(unet, unet_params, vae, vae_params,
+                           steps=max(args.steps // 2, 2))
+    return pipe, os.path.join(args.outdir, "samples", "x4")
+
+
 def encode_prompts_random(prompts: List[str], ctx_dim: int, seed: int = 0):
     """Deterministic pseudo-embeddings when no text-tower checkpoint is
     given (prompt-hash seeded) — keeps the CLI runnable end to end."""
@@ -127,6 +150,10 @@ def main(argv=None) -> int:
     os.makedirs(sample_dir, exist_ok=True)
 
     pipe, ctx_dim = _build_pipeline(args)
+    upscaler = None
+    if "x4" in args.stages:
+        upscaler, up_dir = _build_upscaler(args)
+        os.makedirs(up_dir, exist_ok=True)
     uncond = encode_prompts_random([""], ctx_dim)
     pooled_dim = 1280
     use_pooled = not args.tiny
@@ -173,6 +200,21 @@ def main(argv=None) -> int:
             for img, path in zip(imgs, paths):
                 cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
                 n_done += 1
+            if upscaler is not None:
+                # stage III x4 (reference :313-325: per-image upscale loop)
+                up_ctx_dim = upscaler.unet.context_dim
+                uctx = encode_prompts_random([prompt], up_ctx_dim)
+                uunc = encode_prompts_random([""], up_ctx_dim)
+                uimgs = upscaler.upscale(
+                    jax.random.fold_in(rng, 7),
+                    jnp.asarray(imgs, jnp.float32),
+                    jnp.tile(uctx, (len(paths), 1, 1)),
+                    jnp.tile(uunc, (len(paths), 1, 1)),
+                )
+                uimgs = np.asarray(uimgs).astype(np.uint8)
+                for img, path in zip(uimgs, paths):
+                    up_path = os.path.join(up_dir, os.path.basename(path))
+                    cv2.imwrite(up_path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
     print(f"done: {n_done} images → {sample_dir}")
     return 0
 

@@ -183,3 +183,29 @@ def test_pipeline_mesh_sharded_generation():
     assert np.isfinite(np.asarray(out)).all()
     # the result really is sharded over data
     assert len(out.sharding.device_set) == 8
+
+
+def test_upscale_pipeline_shapes():
+    """Stage-III x4: (B, h, w, 3) -> (B, 4h, 4w, 3) finite pixels."""
+    import jax
+    import jax.numpy as jnp
+
+    from divergen_tpu.pipeline.generation.upscale import (
+        UpscalePipeline,
+        upscaler_unet,
+    )
+    from divergen_tpu.pipeline.generation.vae import VAEDecoder
+
+    unet = upscaler_unet(dtype=jnp.float32, tiny=True)
+    vae = VAEDecoder(channels=(8, 8, 8), dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, 8, 8, 7))
+    ctx1 = jnp.zeros((1, 7, 32))
+    up = unet.init(rng, lat, jnp.zeros((1,)), ctx1)
+    vp = vae.init(rng, jnp.zeros((1, 8, 8, 4)))
+    pipe = UpscalePipeline(unet, up, vae, vp, steps=2)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 3) * 255, jnp.float32)
+    out = pipe.upscale(rng, imgs, ctx1, ctx1)
+    assert out.shape == (1, 32, 32, 3)
+    o = np.asarray(out)
+    assert np.isfinite(o).all() and o.min() >= 0 and o.max() <= 255
