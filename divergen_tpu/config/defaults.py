@@ -79,6 +79,7 @@ def get_cfg() -> ConfigNode:
     m.SWIN = ConfigNode()
     m.SWIN.SIZE = "T"  # T / S / B / L (divergen swintransformer.py:716)
     m.SWIN.USE_CHECKPOINT = False
+    m.SWIN.FUSED_ATTN = False  # pallas fused window attention (fwd+bwd)
     m.SWIN.OUT_FEATURES = (1, 2, 3)
 
     m.TIMM = ConfigNode()

@@ -107,6 +107,7 @@ class WindowAttention(nn.Module):
     window: int
     num_heads: int
     dtype: Any = jnp.float32
+    fused: bool = False  # pallas fused kernel (scores stay in VMEM)
 
     @nn.compact
     def __call__(self, x: Array, mask: Array | None) -> Array:
@@ -125,6 +126,22 @@ class WindowAttention(nn.Module):
         idx = jnp.asarray(_relative_position_index(self.window))
         bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
         bias = bias.transpose(2, 0, 1)[None]  # (1, H, n, n)
+
+        if self.fused and jax.default_backend() == "tpu":
+            # fused fwd+bwd kernel (ops/pallas/window_attention.py): the
+            # (bn, H, n, n) scores never hit HBM — round-1 profiling put
+            # ~65% of a stage-1 block in exactly that traffic
+            from ...ops.pallas.window_attention import fused_window_attention
+
+            out = fused_window_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                bias[0],
+                None if mask is None else mask.astype(jnp.float32),
+            )  # (bn, H, n, d)
+            out = out.transpose(0, 2, 1, 3).reshape(bn, n, self.dim).astype(self.dtype)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=jnp.float32)
         attn = attn + bias.astype(attn.dtype)
@@ -149,6 +166,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     dtype: Any = jnp.float32
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -168,7 +186,8 @@ class SwinBlock(nn.Module):
         else:
             mask = None
         xw = window_partition(x, window)
-        xw = WindowAttention(c, window, self.num_heads, dtype=self.dtype, name="attn")(xw, mask)
+        xw = WindowAttention(c, window, self.num_heads, dtype=self.dtype,
+                             fused=self.fused_attn, name="attn")(xw, mask)
         x = window_reverse(xw, window, hp, wp)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
@@ -216,6 +235,7 @@ class SwinTransformer(nn.Module):
     out_features: Sequence[str] = ("s2", "s3", "s4", "s5")
     dtype: Any = jnp.float32
     remat: bool = False
+    fused_attn: bool = False
 
     @classmethod
     def from_size(cls, size: str, dtype=jnp.float32, remat: bool = False, **kw) -> "SwinTransformer":
@@ -258,6 +278,7 @@ class SwinTransformer(nn.Module):
                     mlp_ratio=self.mlp_ratio,
                     drop_path=dprs[blk_idx],
                     dtype=self.dtype,
+                    fused_attn=self.fused_attn,
                     name=f"stage{stage}_block{i}",
                 )(x, deterministic)
                 blk_idx += 1

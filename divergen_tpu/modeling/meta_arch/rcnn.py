@@ -47,6 +47,7 @@ class CustomRCNN(nn.Module):
     remat_backbone: bool = False
     dynamic_classifier: bool = False
     num_sample_cats: int = 50
+    fused_swin_attn: bool = False
     with_image_labels: bool = False
     dataset_loss_weight: Tuple[float, ...] = ()
 
@@ -76,7 +77,8 @@ class CustomRCNN(nn.Module):
 
             body = SwinTransformer.from_size(
                 self.swin_size, dtype=self.compute_dtype,
-                remat=self.remat_backbone, name="bottom_up",
+                remat=self.remat_backbone, fused_attn=self.fused_swin_attn,
+                name="bottom_up",
             )
         elif self.backbone_name == "convnext":
             from ..backbone.convnext import ConvNeXt
@@ -330,6 +332,7 @@ def build_model(cfg) -> CustomRCNN:
         with_image_labels=cfg.WITH_IMAGE_LABELS,
         dataset_loss_weight=tuple(cfg.MODEL.get("DATASET_LOSS_WEIGHT", [])),
         remat_backbone=cfg.MODEL.SWIN.USE_CHECKPOINT,
+        fused_swin_attn=cfg.MODEL.SWIN.get("FUSED_ATTN", False),
     )
 
 

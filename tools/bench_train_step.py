@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--mode", default="full",
                     choices=["full", "backbone", "nomask", "gtprop"])
     ap.add_argument("--no_remat", action="store_true")
+    ap.add_argument("--fused_attn", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -38,6 +39,7 @@ def main():
     cfg.MODEL.SWIN.SIZE = args.size
     cfg.FP16 = True  # bf16 compute path
     cfg.MODEL.SWIN.USE_CHECKPOINT = not args.no_remat  # remat trades HBM for recompute
+    cfg.MODEL.SWIN.FUSED_ATTN = args.fused_attn
     if args.mode == "nomask":
         cfg.MODEL.MASK_ON = False
     model = build_model(cfg)
