@@ -37,7 +37,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         y = nn.LayerNorm(dtype=self.dtype, name="norm")(y)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(y)
         gamma = self.param("gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,))
         return x + gamma.astype(y.dtype) * y

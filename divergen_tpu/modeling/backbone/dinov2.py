@@ -65,7 +65,7 @@ class _Block(nn.Module):
             mlp = nn.Dense(self.dim, dtype=self.dtype, name="w3")(h)
         else:
             h = nn.Dense(4 * self.dim, dtype=self.dtype, name="fc1")(y)
-            mlp = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(nn.gelu(h))
+            mlp = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(nn.gelu(h, approximate=False))
         return x + ls2 * mlp
 
 

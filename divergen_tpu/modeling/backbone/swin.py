@@ -174,7 +174,7 @@ class SwinBlock(nn.Module):
         window = min(self.window, h, w)
         shift = self.shift if window == self.window else 0
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         pad_b = (window - h % window) % window
         pad_r = (window - w % window) % window
         if pad_b or pad_r:
@@ -195,9 +195,9 @@ class SwinBlock(nn.Module):
             x = x[:, :h, :w]
         dp = DropPath(self.drop_path, name="drop_path")
         x = shortcut + dp(x, deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
         return x + dp(y, deterministic)
 
@@ -215,10 +215,12 @@ class PatchMerging(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
             h, w = h + h % 2, w + w % 2
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        # reference concat order is (x0,x1,x2,x3) = rows-then-cols; the
-        # transpose above yields the same grouping.
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        # reference concat order (swintransformer.py:287-291) is
+        # [x0, x1, x2, x3] = [(dh0,dw0), (dh1,dw0), (dh0,dw1), (dh1,dw1)]:
+        # dw-major, dh-minor → put dw before dh when flattening channels
+        # (verified by tests/parity/test_swin_parity.py)
+        x = x.transpose(0, 1, 3, 4, 2, 5).reshape(b, h // 2, w // 2, 4 * c)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -260,7 +262,7 @@ class SwinTransformer(nn.Module):
         if pad_b or pad_r:
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), dtype=self.dtype, name="patch_embed")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
 
         total = sum(self.depths)
         dprs = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
@@ -284,7 +286,7 @@ class SwinTransformer(nn.Module):
                 blk_idx += 1
             name = f"s{stage + 2}"
             if name in self.out_features:
-                outputs[name] = nn.LayerNorm(dtype=self.dtype, name=f"{name}_norm")(x)
+                outputs[name] = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"{name}_norm")(x)
             if stage < len(self.depths) - 1:
                 x = PatchMerging(dim, dtype=self.dtype, name=f"merge{stage}")(x)
                 dim *= 2

@@ -94,7 +94,7 @@ class ViTBlock(nn.Module):
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         return x + nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
 
 
@@ -142,7 +142,7 @@ class SimpleFeaturePyramid(nn.Module):
 
         c = x.shape[-1]
         up4 = nn.ConvTranspose(c // 2, (2, 2), strides=(2, 2), dtype=self.dtype, name="up4_1")(x)
-        up4 = nn.gelu(nn.LayerNorm(dtype=self.dtype, name="up4_ln")(up4))
+        up4 = nn.gelu(nn.LayerNorm(dtype=self.dtype, name="up4_ln")(up4), approximate=False)
         up4 = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2), dtype=self.dtype, name="up4_2")(up4)
         outs["p2"] = norm_convs(up4, "p2")
         up8 = nn.ConvTranspose(c // 2, (2, 2), strides=(2, 2), dtype=self.dtype, name="up8")(x)

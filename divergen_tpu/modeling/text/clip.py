@@ -53,9 +53,9 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
-        y = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         x = x + MultiHeadAttention(self.width, self.heads, self.dtype, name="attn")(y, mask)
-        y = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         y = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_c_fc")(y)
         y = quick_gelu(y)
         return x + nn.Dense(self.width, dtype=self.dtype, name="mlp_c_proj")(y)
@@ -97,7 +97,7 @@ class CLIPText(nn.Module):
             x = ResidualAttentionBlock(self.width, self.heads, self.dtype, name=f"resblock{i}")(
                 x, mask
             )
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
         proj = self.param(
             "text_projection", nn.initializers.normal(self.width**-0.5),
             (self.width, self.embed_dim),
@@ -134,10 +134,10 @@ class CLIPVision(nn.Module):
         n_pos = (self.image_size // self.patch) ** 2 + 1
         pos = self.param("positional_embedding", nn.initializers.normal(0.02), (n_pos, self.width))
         x = x + pos[None, : x.shape[1]].astype(x.dtype)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, self.heads, self.dtype, name=f"resblock{i}")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_post")(x[:, 0])
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x[:, 0])
         proj = self.param(
             "proj", nn.initializers.normal(self.width**-0.5), (self.width, self.embed_dim)
         )

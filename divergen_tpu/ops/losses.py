@@ -85,17 +85,19 @@ def iou_loss(
     g_w = jnp.maximum(pl_, tl) + jnp.maximum(pr, tr)
     g_h = jnp.maximum(pb, tb) + jnp.maximum(pt, tt)
 
-    inter = jnp.clip(w_inter, 0) * jnp.clip(h_inter, 0)
+    # exact reference arithmetic (iou_loss.py:36-48): +1 smoothing on both
+    # numerator and denominator, no clamping of the intersection terms
+    inter = w_inter * h_inter
     union = target_area + pred_area - inter
-    ious = inter / jnp.maximum(union, 1.0)
+    ious = (inter + 1.0) / (union + 1.0)
 
     if loss_type == "iou":
-        losses = -jnp.log(jnp.clip(ious, 1e-6))
+        losses = -jnp.log(ious)
     elif loss_type == "linear_iou":
         losses = 1.0 - ious
     elif loss_type == "giou":
-        ac_uion = jnp.maximum(g_w * g_h, 1e-7)
-        gious = ious - (ac_uion - union) / ac_uion
+        ac_uion = g_w * g_h
+        gious = ious - (ac_uion - union) / jnp.where(ac_uion == 0, 1.0, ac_uion)
         losses = 1.0 - gious
     else:
         raise ValueError(loss_type)

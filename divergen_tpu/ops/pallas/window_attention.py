@@ -70,7 +70,12 @@ def _bwd_kernel(
     q_ref, k_ref, v_ref, b_ref, m_ref, do_ref,
     dq_ref, dk_ref, dv_ref, db_ref, *, scale, has_mask,
 ):
-    i = pl.program_id(0)
+    # Grid is (head_blocks, windows) with windows INNERMOST: db's block index
+    # depends only on the head-block dim, so all revisits of one db block are
+    # consecutive window steps — the only accumulation pattern Pallas TPU
+    # defines. (With windows outermost and >1 head block, each db block is
+    # revisited non-consecutively: undefined behavior, garbage bias grads.)
+    i = pl.program_id(1)
 
     g, h, n, d = q_ref.shape
     q = q_ref[...].astype(jnp.float32).reshape(g * h, n, d)
@@ -137,16 +142,17 @@ def _reference(q, k, v, bias, mask):
 
 
 def _specs(bsz, g, hb, n, d, has_mask, nw):
-    """Grid is (windows/G, heads/HB)."""
-    qspec = pl.BlockSpec((g, hb, n, d), lambda i, j: (i, j, 0, 0),
+    """Grid is (heads/HB, windows/G) — windows innermost so the bwd kernel's
+    db accumulation revisits each bias block consecutively."""
+    qspec = pl.BlockSpec((g, hb, n, d), lambda j, i: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((hb, n, n), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((hb, n, n), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM)
     if has_mask:
         # G consecutive windows share the grid step; requires nW % G == 0
-        mspec = pl.BlockSpec((g, n, n), lambda i, j: (i % (nw // g), 0, 0),
+        mspec = pl.BlockSpec((g, n, n), lambda j, i: (i % (nw // g), 0, 0),
                              memory_space=pltpu.VMEM)
     else:
-        mspec = pl.BlockSpec((1, n, n), lambda i, j: (0, 0, 0),
+        mspec = pl.BlockSpec((1, n, n), lambda j, i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     return qspec, bspec, mspec
 
@@ -160,7 +166,7 @@ def _grid_and_specs(q, mask):
         g -= 1
     while h % hb:
         hb -= 1
-    grid = (bsz // g, h // hb)
+    grid = (h // hb, bsz // g)
     return grid, _specs(bsz, g, hb, n, d, has_mask, nw), has_mask, n
 
 

@@ -79,10 +79,10 @@ def roi_align_rotated(
         xx = ix * bw - (bw * resolution) / 2.0
         gy, gx = jnp.meshgrid(yy, xx, indexing="ij")  # (P, P)
         cos_t, sin_t = jnp.cos(th), jnp.sin(th)
-        # CCW rotation of the sampling grid (detectron2: y' = yc + ys*cos -
-        # xs*sin is for CW image coords; follow the CPU kernel):
-        rx = cxi + gx * cos_t - gy * sin_t
-        ry = cyi + gx * sin_t + gy * cos_t
+        # detectron2 ROIAlignRotated_cpu.cpp:62-63 (y-down image coords, CCW
+        # angle): x = cx + xx*cos + yy*sin ; y = cy - xx*sin + yy*cos
+        rx = cxi + gx * cos_t + gy * sin_t
+        ry = cyi - gx * sin_t + gy * cos_t
         vals = _bilinear(fmap, ry, rx)  # (P, P, C)
         p = resolution
         vals = vals.reshape(p, s, p, s, -1)
@@ -105,8 +105,10 @@ def _rect_corners(box: Array) -> Array:
     cos_t, sin_t = jnp.cos(th), jnp.sin(th)
     dx = jnp.asarray([-0.5, 0.5, 0.5, -0.5]) * w
     dy = jnp.asarray([-0.5, -0.5, 0.5, 0.5]) * h
-    x = cx + dx * cos_t - dy * sin_t
-    y = cy + dx * sin_t + dy * cos_t
+    # box_iou_rotated_utils.h:64-74 (y-down, CCW angle):
+    # x = cx + dx*cos + dy*sin ; y = cy - dx*sin + dy*cos
+    x = cx + dx * cos_t + dy * sin_t
+    y = cy - dx * sin_t + dy * cos_t
     return jnp.stack([x, y], axis=-1)
 
 

@@ -35,10 +35,17 @@ class SchedulerConfig(NamedTuple):
 
 
 def make_scheduler(kind: str = "scaled_linear", n: int = 1000,
-                   prediction_type: str = "epsilon") -> SchedulerConfig:
-    betas = betas_cosine(n) if kind == "cosine" else betas_scaled_linear(n)
+                   prediction_type: str = "epsilon",
+                   start: float = 0.00085, end: float = 0.012) -> SchedulerConfig:
+    betas = betas_cosine(n) if kind == "cosine" else betas_scaled_linear(n, start, end)
     alphas_cumprod = np.cumprod(1.0 - betas)
     return SchedulerConfig(alphas_cumprod, n, prediction_type)
+
+
+def add_noise(cfg: SchedulerConfig, sample: Array, noise: Array, t) -> Array:
+    """DDPMScheduler.add_noise: sqrt(ᾱ_t)·x + sqrt(1-ᾱ_t)·ε."""
+    ac = jnp.asarray(cfg.alphas_cumprod, jnp.float32)[jnp.asarray(t)]
+    return jnp.sqrt(ac) * sample + jnp.sqrt(1.0 - ac) * noise
 
 
 # ---------------- DDIM ----------------

@@ -117,7 +117,9 @@ def _build_upscaler(args):
     hl = max(args.height // 16, 8)
     lat = jnp.zeros((1, hl, hl, 7))
     ctx = jnp.zeros((1, 77, unet.context_dim))
-    unet_params = unet.init(rng, lat, jnp.zeros((1,)), ctx)
+    unet_params = unet.init(
+        rng, lat, jnp.zeros((1,)), ctx, class_labels=jnp.zeros((1,), jnp.int32)
+    )
     vae_params = vae.init(rng, jnp.zeros((1, hl, hl, 4)))
     pipe = UpscalePipeline(unet, unet_params, vae, vae_params,
                            steps=max(args.steps // 2, 2))

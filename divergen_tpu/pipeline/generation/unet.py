@@ -88,20 +88,20 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
         c = self.channels
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn1_q")(y)
         k = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn1_k")(y)
         v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn1_v")(y)
         x = x + nn.Dense(c, dtype=self.dtype, name="attn1_out")(_attention(q, k, v, self.heads))
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn2_q")(y)
         k = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn2_k")(context)
         v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn2_v")(context)
         x = x + nn.Dense(c, dtype=self.dtype, name="attn2_out")(_attention(q, k, v, self.heads))
-        y = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         g = nn.Dense(8 * c, dtype=self.dtype, name="ff_geglu")(y)
         a, b = jnp.split(g, 2, axis=-1)
-        return x + nn.Dense(c, dtype=self.dtype, name="ff_out")(a * nn.gelu(b))
+        return x + nn.Dense(c, dtype=self.dtype, name="ff_out")(a * nn.gelu(b, approximate=False))
 
 
 class SpatialTransformer(nn.Module):
@@ -158,6 +158,7 @@ class UNetSDXL(nn.Module):
     head_dim: int = 64
     addition_time_embed_dim: int = 256
     pooled_proj_dim: int = 2816  # 1280 pooled + 6*256 time ids
+    num_class_embeds: Optional[int] = None  # SD-x4-upscaler: 1000 noise levels
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -168,6 +169,7 @@ class UNetSDXL(nn.Module):
         context: Array,  # (B, L, context_dim) text hidden states
         pooled_text: Optional[Array] = None,  # (B, 1280)
         time_ids: Optional[Array] = None,  # (B, 6)
+        class_labels: Optional[Array] = None,  # (B,) int, e.g. noise level
         cached_encoder: Optional[Tuple[Array, Tuple[Array, ...]]] = None,
         return_encoder: bool = False,
     ):
@@ -190,6 +192,15 @@ class UNetSDXL(nn.Module):
             add = nn.Dense(temb_dim, dtype=self.dtype, name="add_embed_1")(add.astype(self.dtype))
             add = nn.Dense(temb_dim, dtype=self.dtype, name="add_embed_2")(nn.silu(add))
             emb = emb + add
+
+        if self.num_class_embeds is not None and class_labels is not None:
+            # diffusers UNet2DConditionModel num_class_embeds path: a learned
+            # per-class embedding added to the time embedding (the x4
+            # upscaler conditions on the low-res noise level this way)
+            cemb = nn.Embed(
+                self.num_class_embeds, temb_dim, dtype=self.dtype, name="class_embed"
+            )(class_labels.astype(jnp.int32))
+            emb = emb + cemb
 
         context = context.astype(self.dtype)
         if cached_encoder is None:

@@ -22,6 +22,7 @@ from jax import Array
 
 from .scheduler import (
     SchedulerConfig,
+    add_noise,
     euler_init_noise_scale,
     euler_scale_input,
     euler_sigmas,
@@ -40,7 +41,7 @@ def upscaler_unet(dtype: Any = jnp.float32, tiny: bool = False) -> UNetSDXL:
         return UNetSDXL(
             in_channels=7, out_channels=4, block_channels=(16, 32),
             transformer_depths=(0, 1), context_dim=32, head_dim=8,
-            layers_per_block=1, dtype=dtype,
+            layers_per_block=1, num_class_embeds=1000, dtype=dtype,
         )
     return UNetSDXL(
         in_channels=7,
@@ -50,6 +51,7 @@ def upscaler_unet(dtype: Any = jnp.float32, tiny: bool = False) -> UNetSDXL:
         context_dim=1024,
         head_dim=64,
         layers_per_block=2,
+        num_class_embeds=1000,  # noise-level class conditioning
         dtype=dtype,
     )
 
@@ -66,7 +68,8 @@ class UpscalePipeline:
         scheduler: Optional[SchedulerConfig] = None,
         steps: int = 25,
         guidance_scale: float = 7.5,
-        low_res_noise_level: int = 20,
+        low_res_noise_level: int = 100,
+        low_res_scheduler: Optional[SchedulerConfig] = None,
     ):
         self.unet = unet
         self.unet_params = unet_params
@@ -75,7 +78,17 @@ class UpscalePipeline:
         self.sched = scheduler or make_scheduler("scaled_linear")
         self.steps = steps
         self.guidance = guidance_scale
-        self.noise_level = low_res_noise_level
+        # noise_level=100 matches the reference stage-III invocation
+        # (txt2img_diffusers_stages_from_txt.py:313-325 passes the pipeline
+        # default; the x4-upscaler pipeline default is 20, the reference
+        # explicitly uses 100 via DATA.md recipe) and is fed to the UNet as
+        # class conditioning AND to the low-res add_noise below.
+        self.noise_level = int(low_res_noise_level)
+        # diffusers low_res_scheduler for the x4 upscaler: DDPM scaled_linear
+        # beta_start=1e-4, beta_end=2e-2
+        self.low_res_sched = low_res_scheduler or make_scheduler(
+            "scaled_linear", start=1e-4, end=2e-2
+        )
         ts, sigmas = euler_sigmas(self.sched, steps)
         self._ts = jnp.asarray(ts, jnp.float32)
         self._sigmas = jnp.asarray(sigmas, jnp.float32)
@@ -88,6 +101,7 @@ class UpscalePipeline:
         b = latents.shape[0]
         ctx = jnp.concatenate([uncond_context, context], axis=0)
         low2 = jnp.concatenate([low_res, low_res], axis=0)
+        nl2 = jnp.full((2 * b,), self.noise_level, jnp.int32)
 
         def body(lat, i):
             x = euler_scale_input(lat, sigmas[i])
@@ -95,7 +109,7 @@ class UpscalePipeline:
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.concatenate([t, t], axis=0)
             inp = jnp.concatenate([x2, low2], axis=-1)  # latent ‖ low-res RGB
-            eps2 = self.unet.apply(unet_params, inp, t2, ctx)
+            eps2 = self.unet.apply(unet_params, inp, t2, ctx, class_labels=nl2)
             eps_u, eps_c = jnp.split(eps2, 2, axis=0)
             eps = eps_u + g * (eps_c - eps_u)
             return euler_step(lat, eps.astype(lat.dtype), sigmas[i], sigmas[i + 1]), None
@@ -113,11 +127,16 @@ class UpscalePipeline:
     ):
         b, h, w, _ = images.shape
         k_lat, k_noise = jax.random.split(rng)
-        # conditioning image in [-1, 1], lightly noised per noise_level
-        # (the diffusers pipeline noises the low-res input for robustness)
+        # conditioning image in [-1, 1], noised with the low-res DDPM
+        # scheduler's add_noise at t = noise_level (diffusers
+        # StableDiffusionUpscalePipeline semantics); the same noise_level is
+        # fed to the UNet as class conditioning in the denoise loop
         low = images.astype(jnp.float32) / 127.5 - 1.0
-        nl = self.noise_level / 1000.0
-        low = low + nl * jax.random.normal(k_noise, low.shape, jnp.float32)
+        low = add_noise(
+            self.low_res_sched, low,
+            jax.random.normal(k_noise, low.shape, jnp.float32),
+            self.noise_level,
+        )
         lat_shape = (b, h, w, 4)  # latent resolution == low-res pixels (x4 VAE)
         latents = (
             jax.random.normal(k_lat, lat_shape, jnp.float32)

@@ -180,9 +180,9 @@ class MaskDecoder(nn.Module):
         mask_tokens = tokens[:, 1 : 1 + self.num_masks]
         img = image.reshape(b, h, w, c)
         img = nn.ConvTranspose(self.dim // 4, (2, 2), strides=(2, 2), name="up1")(img)
-        img = nn.gelu(nn.LayerNorm(name="up_ln")(img))
+        img = nn.gelu(nn.LayerNorm(name="up_ln")(img), approximate=False)
         img = nn.ConvTranspose(self.dim // 8, (2, 2), strides=(2, 2), name="up2")(img)
-        img = nn.gelu(img)  # (B, 4h, 4w, C/8)
+        img = nn.gelu(img, approximate=False)  # (B, 4h, 4w, C/8)
         hyper = []
         for m in range(self.num_masks):
             y = mask_tokens[:, m]

@@ -372,6 +372,9 @@ def convert_sdxl_unet(sd: Dict[str, np.ndarray], unet) -> Dict:
     lin("time_embed_2", "time_embedding.linear_2")
     lin("add_embed_1", "add_embedding.linear_1")
     lin("add_embed_2", "add_embedding.linear_2")
+    if "class_embedding.weight" in sd:  # x4 upscaler noise-level embedding
+        out["class_embed"] = {"embedding": sd["class_embedding.weight"]}
+        mapped[0] += 1
     conv("conv_in", "conv_in")
     conv("conv_out", "conv_out")
     norm("norm_out", "conv_norm_out")

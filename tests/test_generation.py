@@ -201,7 +201,8 @@ def test_upscale_pipeline_shapes():
     rng = jax.random.PRNGKey(0)
     lat = jnp.zeros((1, 8, 8, 7))
     ctx1 = jnp.zeros((1, 7, 32))
-    up = unet.init(rng, lat, jnp.zeros((1,)), ctx1)
+    up = unet.init(rng, lat, jnp.zeros((1,)), ctx1,
+                   class_labels=jnp.zeros((1,), jnp.int32))
     vp = vae.init(rng, jnp.zeros((1, 8, 8, 4)))
     pipe = UpscalePipeline(unet, up, vae, vp, steps=2)
     imgs = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 3) * 255, jnp.float32)

@@ -23,8 +23,10 @@ from divergen_tpu.ops.deform_conv import deform_conv2d
 def np_rect_area_inter(b1, b2, res=512):
     """Monte-Carlo-free rasterized intersection reference."""
     def inside(px, py, b):
+        # Inverse of the detectron2 rotated-box frame (box_iou_rotated_utils.h:
+        # world = c + [[cos, sin], [-sin, cos]] @ local), y-down CCW angles.
         cx, cy, w, h, a = b
-        th = -a * math.pi / 180.0
+        th = a * math.pi / 180.0
         dx, dy = px - cx, py - cy
         lx = dx * math.cos(th) - dy * math.sin(th)
         ly = dx * math.sin(th) + dy * math.cos(th)
@@ -118,6 +120,32 @@ def test_roi_align_rotated_angle0_matches_roi_align():
     got = np.asarray(roi_align_rotated(fmap, jnp.asarray(rot, jnp.float32), 4))
     ref = np.asarray(roi_align(fmap, jnp.asarray([box], jnp.float32), 4, 1.0))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_roi_align_rotated_nonzero_angle_reference_coords():
+    """Hand-computed check of the sampling frame at a nonzero angle.
+
+    With a linear ramp fmap f(y, x) = x, bilinear sampling is exact and each
+    output bin equals the x-coordinate of its bin center mapped through the
+    detectron2 frame (ROIAlignRotated_cpu.cpp:62-63):
+        x = (cx - 0.5) + gx*cos(th) + gy*sin(th)
+    The (previously shipped) flipped convention gives gx*cos - gy*sin and
+    fails this test for any angle not a multiple of 180.
+    """
+    h = w = 32
+    fmap = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :, None], (h, w, 1))
+    cx, cy, bw, bh, ang = 16.0, 16.0, 8.0, 4.0, 30.0
+    res = 2
+    out = np.asarray(
+        roi_align_rotated(fmap, jnp.asarray([[cx, cy, bw, bh, ang]], jnp.float32), res)
+    )[0, :, :, 0]
+    th = math.radians(ang)
+    for i in range(res):
+        for j in range(res):
+            gy = (i + 0.5) * (bh / res) - bh / 2
+            gx = (j + 0.5) * (bw / res) - bw / 2
+            expect = (cx - 0.5) + gx * math.cos(th) + gy * math.sin(th)
+            np.testing.assert_allclose(out[i, j], expect, atol=1e-4)
 
 
 def test_roi_align_rotated_90deg_rotates_content():

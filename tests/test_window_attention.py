@@ -53,6 +53,28 @@ def test_fused_grads_match_reference(with_mask):
         )
 
 
+@pytest.mark.parametrize("h", [16, 24])
+def test_fused_grads_multiple_head_blocks(h):
+    """>8 heads → multiple head blocks (HB=8): exercises the db-accumulation
+    grid ordering (windows must be the innermost grid dim; with the old
+    (windows, heads) grid the interpreter raises 'Revisited block' and
+    hardware produces garbage bias grads)."""
+    q, k, v, bias, mask = make_inputs(bsz=4, h=h, n=8, d=4, nw=2, seed=3)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(jnp.sin(_reference(q, k, v, bias, mask)))
+
+    def loss_fused(q, k, v, bias):
+        return jnp.sum(jnp.sin(fused_window_attention(q, k, v, bias, mask, interpret=True)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip("qkvb", g_ref, g_fus):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-5, rtol=1e-3, err_msg=f"d{name}"
+        )
+
+
 def test_fused_grouping_odd_batch():
     # bsz not divisible by the default group → group shrinks to 1
     q, k, v, bias, mask = make_inputs(bsz=6, h=5, nw=3)
