@@ -1,0 +1,174 @@
+"""On-hardware kernel parity: Pallas kernels vs their XLA/numpy references.
+
+These are the reproducible versions of the ad-hoc on-TPU comparisons from
+round 1 (STATUS.md). Interpret-mode coverage lives in tests/; this file
+executes the REAL Mosaic-compiled kernels on the chip.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+# ---------------- flash attention ----------------
+@pytest.mark.parametrize("b,s,d", [(4, 256, 64), (2, 1024, 64), (8, 144, 32)])
+def test_flash_attention_forward_parity(b, s, d):
+    from divergen_tpu.ops.pallas.flash_attention import (
+        flash_attention,
+        reference_attention,
+    )
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, s, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, d), jnp.float32)
+    got = np.asarray(flash_attention(q, k, v, use_pallas=True))
+    want = np.asarray(reference_attention(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+# ---------------- fused window attention ----------------
+@pytest.mark.parametrize("h", [3, 12, 24])  # 24 heads → multiple head blocks
+def test_window_attention_hardware_parity(h):
+    from divergen_tpu.ops.pallas.window_attention import (
+        _reference,
+        fused_window_attention,
+    )
+
+    rng = np.random.RandomState(2)
+    bsz, n, d = 8, 49, 32
+    q = jnp.asarray(rng.randn(bsz, h, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(bsz, h, n, d), jnp.float32)
+    v = jnp.asarray(rng.randn(bsz, h, n, d), jnp.float32)
+    bias = jnp.asarray(rng.randn(h, n, n) * 0.1, jnp.float32)
+    mask = jnp.asarray(
+        rng.choice([0.0, -100.0], size=(4, n, n), p=[0.8, 0.2]), jnp.float32
+    )
+    got = np.asarray(fused_window_attention(q, k, v, bias, mask, use_pallas=True))
+    want = np.asarray(_reference(q, k, v, bias, mask))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("h", [12, 24])
+def test_window_attention_hardware_grads(h):
+    """Exercises the bias-grad accumulation across window grid steps with
+    multiple head blocks — the exact pattern that was undefined before the
+    round-2 grid reorder."""
+    from divergen_tpu.ops.pallas.window_attention import (
+        _reference,
+        fused_window_attention,
+    )
+
+    rng = np.random.RandomState(3)
+    bsz, n, d = 8, 49, 32
+    q = jnp.asarray(rng.randn(bsz, h, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(bsz, h, n, d), jnp.float32)
+    v = jnp.asarray(rng.randn(bsz, h, n, d), jnp.float32)
+    bias = jnp.asarray(rng.randn(h, n, n) * 0.1, jnp.float32)
+
+    def loss_f(fn):
+        return lambda q, k, v, b: jnp.sum(jnp.sin(fn(q, k, v, b, None)))
+
+    g1 = jax.grad(loss_f(lambda *a: fused_window_attention(*a, use_pallas=True)),
+                  argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss_f(_reference), argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b_ in zip("qkvb", g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-3, rtol=5e-3, err_msg=f"d{name}"
+        )
+
+
+# ---------------- ROIAlign (separable-matmul form) ----------------
+def _roi_align_gather_reference(fmap, boxes, resolution, scale, sampling=2):
+    """Naive bilinear-gather ROIAlign (the reference CUDA semantics),
+    evaluated in float64 numpy."""
+    fmap = np.asarray(fmap, np.float64)
+    h, w, c = fmap.shape
+    out = np.zeros((len(boxes), resolution, resolution, c))
+    for r, box in enumerate(np.asarray(boxes, np.float64)):
+        x1, y1, x2, y2 = box * scale
+        bw = max(x2 - x1, 1e-6) / resolution
+        bh = max(y2 - y1, 1e-6) / resolution
+        for iy in range(resolution):
+            for ix in range(resolution):
+                acc = np.zeros(c)
+                for sy in range(sampling):
+                    for sx in range(sampling):
+                        y = y1 + (iy + (sy + 0.5) / sampling) * bh - 0.5
+                        x = x1 + (ix + (sx + 0.5) / sampling) * bw - 0.5
+                        if y < -1 or y > h or x < -1 or x > w:
+                            continue
+                        y_ = min(max(y, 0), h - 1)
+                        x_ = min(max(x, 0), w - 1)
+                        y0, x0 = int(math.floor(y_)), int(math.floor(x_))
+                        y1i, x1i = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                        ly, lx = y_ - y0, x_ - x0
+                        acc += (
+                            fmap[y0, x0] * (1 - ly) * (1 - lx)
+                            + fmap[y0, x1i] * (1 - ly) * lx
+                            + fmap[y1i, x0] * ly * (1 - lx)
+                            + fmap[y1i, x1i] * ly * lx
+                        )
+                out[r, iy, ix] = acc / (sampling * sampling)
+    return out
+
+
+def test_roi_align_matmul_form_parity():
+    from divergen_tpu.ops.roi_align import roi_align
+
+    rng = np.random.RandomState(4)
+    fmap = jnp.asarray(rng.rand(32, 32, 8), jnp.float32)
+    boxes = jnp.asarray(
+        [[2.0, 3.0, 20.0, 25.0], [0.0, 0.0, 31.0, 31.0], [10.5, 4.25, 18.75, 30.0]],
+        jnp.float32,
+    )
+    got = np.asarray(jax.jit(
+        lambda f, b: roi_align(f, b, 7, 1.0)
+    )(fmap, boxes))
+    want = _roi_align_gather_reference(fmap, boxes, 7, 1.0)
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+# ---------------- NMS ----------------
+def _nms_numpy(boxes, scores, classes, thr):
+    order = np.argsort(-scores, kind="mergesort")
+    keep = np.zeros(len(boxes), bool)
+    taken = []
+    for i in order:
+        ok = True
+        for j in taken:
+            if classes[i] != classes[j]:
+                continue
+            xx1 = max(boxes[i, 0], boxes[j, 0])
+            yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2])
+            yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(xx2 - xx1, 0) * max(yy2 - yy1, 0)
+            a1 = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            a2 = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / max(a1 + a2 - inter, 1e-9) > thr:
+                ok = False
+                break
+        if ok:
+            keep[i] = True
+            taken.append(i)
+    return keep
+
+
+def test_batched_nms_exact_on_tpu():
+    from divergen_tpu.ops.nms import batched_nms_mask
+
+    rng = np.random.RandomState(5)
+    n = 256
+    xy = rng.rand(n, 2) * 100
+    wh = rng.rand(n, 2) * 40 + 5
+    boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    classes = rng.randint(0, 4, n).astype(np.int32)
+    got = np.asarray(jax.jit(
+        lambda b, s, c: batched_nms_mask(b, s, c, 0.5)
+    )(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes)))
+    want = _nms_numpy(boxes, scores, classes, 0.5)
+    np.testing.assert_array_equal(got, want)
