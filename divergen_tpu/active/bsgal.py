@@ -108,6 +108,145 @@ def push_sim(state: ActiveState, sim: Array) -> ActiveState:
     return state.replace(sim_queue=q, queue_pos=pos, queue_filled=filled)
 
 
+def unique_paste_ids(instance_source: Array, valid: Array) -> Array:
+    """[0,0,1,1],[0,1,..] → [0,0,1,2],[0,3,..]: pasted instances numbered
+    1..P sequentially across the whole batch (reset_instance_source,
+    custom_rcnn.py:317-329), so per-paste loss columns identify individual
+    pastes."""
+    is_paste = (instance_source > 0) & valid
+    flat = is_paste.reshape(-1)
+    ids = jnp.cumsum(flat.astype(jnp.int32))
+    return jnp.where(flat, ids, 0).reshape(instance_source.shape)
+
+
+def apply_compare_baseline(
+    compare: str,
+    decision: Array,  # () bool — the grad-sim decision
+    key: Array,
+    step: Array,
+    schedule_iters: int,
+) -> Array:
+    """ACTIVE_COMPARE ablation baselines (compare_loss, custom_rcnn.py:
+    1097-1169; '>' = paste). The reference compares probe losses; in the
+    grad framework the comparison outcome is ``decision`` (sim > thr).
+
+    default  — follow the decision.
+    all      — always paste.
+    random   — paste w.p. 0.5; random_<p> — paste w.p. p.
+    prob     — follow the decision w.p. 0.8, inverted otherwise.
+    schedule — paste unconditionally w.p. step/schedule_iters, else follow.
+    """
+    if compare == "default" or compare == "contra":
+        return decision
+    if compare == "all":
+        return jnp.ones((), bool)
+    if compare.startswith("random"):
+        p = float(compare.split("_")[1]) if "_" in compare else 0.5
+        return jax.random.bernoulli(key, p)
+    if compare == "prob":
+        follow = jax.random.bernoulli(key, 0.8)
+        return jnp.where(follow, decision, ~decision)
+    if compare == "schedule":
+        ramp = jnp.clip(step.astype(jnp.float32) / float(schedule_iters), 0.0, 1.0)
+        force = jax.random.bernoulli(key, ramp)
+        return force | decision
+    raise NotImplementedError(f"ACTIVE.COMPARE={compare}")
+
+
+class DecisionLogger:
+    """Per-decision txt logs in the reference's layout (custom_rcnn.py:
+    610-686): ``OUTPUT/paste_source/rank_<r>/<iter//10000+1>0000.txt`` one
+    line per pasted file, and ``OUTPUT/paste_ins_loss/...`` per-instance
+    loss columns when the per-paste rows are enabled."""
+
+    def __init__(self, out_dir: str, rank: int):
+        import os
+
+        self.out_dir = out_dir
+        self.rank = rank
+        self._os = os
+
+    def _open(self, sub: str, it: int):
+        path = self._os.path.join(
+            self.out_dir, sub, f"rank_{self.rank}", f"{it // 10000 + 1}0000.txt"
+        )
+        self._os.makedirs(self._os.path.dirname(path), exist_ok=True)
+        return open(path, "a")
+
+    def log_decision(self, it, filenames, select_classes, paste, sim, thr,
+                     paste_num):
+        with self._open("paste_source", it) as f:
+            for fn, cls in zip(filenames, select_classes):
+                f.write(
+                    f"{fn} select_class: {cls} paste: {int(paste)} iter: {it}"
+                    f" loss_dif: {round(float(sim) - float(thr), 4)}"
+                    f" paste_num: {paste_num}"
+                    f" sim_paste_init: {round(float(sim), 4)}"
+                    f" threshold: {round(float(thr), 4)}\n"
+                )
+
+    def close(self) -> None:
+        """Files are opened per-write; nothing held open."""
+
+    def log_paste_ins(self, it, rows, paste, paste_num):
+        """rows: iterable of (filename, select_class, ins_loss, max_error_class,
+        max_error_loss)."""
+        with self._open("paste_ins_loss", it) as f:
+            for fn, cls, loss, mec, mel in rows:
+                f.write(
+                    f"{fn} select_class: {cls} paste: {int(paste)} iter: {it}"
+                    f" paste_num: {paste_num}"
+                    f" paste_ins_loss: {round(float(loss), 4)}"
+                    f" max_error_class: {int(mec)}"
+                    f" max_error_loss: {round(float(mel), 4)}\n"
+                )
+
+
+def paste_ins_rows(aux: Dict[str, Any], filenames) -> list:
+    """Join the per-paste loss columns (segment-mean over proposal rows by
+    unique paste id) with host-side filename provenance.
+
+    ``aux``: device_get of metrics['aux_paste_rows'].
+    ``filenames``: (B, MP) string array from the mapper (device-skipped).
+    Returns rows for DecisionLogger.log_paste_ins.
+    """
+    import numpy as np
+
+    ids_gt = np.asarray(aux["gt_ids"])  # (B, N)
+    valid = np.asarray(aux["gt_valid"])
+    classes = np.asarray(aux["gt_classes"])
+    row_loss = np.asarray(aux["loss"]).reshape(-1)
+    row_id = np.asarray(aux["id"]).reshape(-1)
+    row_mec = np.asarray(aux["max_class"]).reshape(-1)
+    row_mel = np.asarray(aux["max_loss"]).reshape(-1)
+
+    fn_flat = np.asarray(filenames).reshape(-1) if filenames is not None else None
+    rows = []
+    b, n = ids_gt.shape
+    # paste slots come after the base instances: the j-th pasted instance of
+    # image i corresponds to filenames[i, j]
+    for i in range(b):
+        slot = 0
+        for j in range(n):
+            if not valid[i, j] or ids_gt[i, j] <= 0:
+                continue
+            uid = ids_gt[i, j]
+            sel = row_id == uid
+            if sel.any():
+                loss = float(row_loss[sel].mean())
+                mec = int(row_mec[sel][0])
+                mel = float(row_mel[sel].max())
+            else:
+                loss, mec, mel = 0.0, -1, 0.0
+            if fn_flat is not None:
+                fn = np.asarray(filenames)[i, slot] if slot < np.asarray(filenames).shape[1] else ""
+            else:
+                fn = ""
+            rows.append((fn, int(classes[i, j]), loss, mec, mel))
+            slot += 1
+    return rows
+
+
 @dataclasses.dataclass(frozen=True)
 class ActiveConfig:
     mode: str = "paste_or_ori"  # paste_or_zero | paste_or_ori | paste_only
@@ -117,6 +256,11 @@ class ActiveConfig:
     dynamic: bool = False
     dynamic_percent: float = 0.5
     cp_mode: str = "basic"
+    compare: str = "default"
+    schedule_iters: int = 90000
+    per_instance: bool = False
+    per_instance_percent: float = 0.9
+    per_paste_rows: bool = False
 
     @staticmethod
     def from_cfg(cfg) -> "ActiveConfig":
@@ -129,6 +273,11 @@ class ActiveConfig:
             dynamic=a.DYNAMIC_THRESHOLD,
             dynamic_percent=a.DYNAMIC_PERCENT,
             cp_mode=cfg.INPUT.CP_METHOD,
+            compare=a.COMPARE,
+            schedule_iters=a.SCHEDULE_ITERS,
+            per_instance=a.PER_INSTANCE,
+            per_instance_percent=a.PER_INSTANCE_PERCENT,
+            per_paste_rows=a.ONLY_GT_TRAIN or a.PER_INSTANCE,
         )
 
 
@@ -158,6 +307,9 @@ def make_active_train_step(model, optimizer, cfg) -> Callable:
         gt = {k: out[k] for k in ("boxes", "classes", "valid", "masks", "instance_source")}
         return out["image"], gt
 
+    def _scalar_keys(losses):
+        return [k for k in losses if "paste_ins" not in k and not k.startswith("aux_")]
+
     def probe_loss(params, probe, rng):
         losses = model.apply(
             params, probe["image"], probe["image_size"], gt=probe["gt"], rng=rng,
@@ -165,7 +317,7 @@ def make_active_train_step(model, optimizer, cfg) -> Callable:
         )
         sel = [losses[k] for k in acfg.loss_keys if k in losses]
         if not sel:  # fall back to every non-split loss (ACTIVE_LOSS 'all')
-            sel = [v for k, v in losses.items() if "paste_ins" not in k]
+            sel = [losses[k] for k in _scalar_keys(losses)]
         return sum(v.astype(jnp.float32) for v in sel)
 
     def paste_part_loss(params, images, sizes, gt, rng):
@@ -175,14 +327,12 @@ def make_active_train_step(model, optimizer, cfg) -> Callable:
 
     def final_loss(params, images, sizes, gt, rng):
         losses = model.apply(params, images, sizes, gt=gt, rng=rng, training=True)
-        total = sum(
-            v.astype(jnp.float32) for k, v in losses.items() if "paste_ins" not in k
-        )
+        total = sum(losses[k].astype(jnp.float32) for k in _scalar_keys(losses))
         return total, losses
 
     def step_fn(state: TrainState, astate: ActiveState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
-        k_probe, k_paste, k_final = jax.random.split(rng, 3)
+        k_probe, k_paste, k_final, k_cmp = jax.random.split(rng, 4)
 
         # A. real-data probe gradient → EMA bank (:347-354,445-447)
         g_test = jax.grad(probe_loss)(state.params, batch["probe"], k_probe)
@@ -190,24 +340,59 @@ def make_active_train_step(model, optimizer, cfg) -> Callable:
 
         # B. paste-part gradient from ONE pasted forward (:480-549)
         images_pasted, gt_pasted = composite(batch)
+        if acfg.per_paste_rows:
+            # unique ids 1..P (reset_instance_source, :317-329) so stage-0
+            # per-paste loss columns identify individual pasted instances
+            gt_pasted["instance_source"] = unique_paste_ids(
+                gt_pasted["instance_source"], gt_pasted["valid"]
+            )
         sizes = batch["image_size"]
-        (_, _losses), g_paste = jax.value_and_grad(
+        (_, paste_losses), g_paste = jax.value_and_grad(
             paste_part_loss, has_aux=True
         )(state.params, images_pasted, sizes, gt_pasted, k_paste)
 
-        # C. decision (:536-605)
+        # C. decision (:536-605) + ACTIVE_COMPARE ablation baselines
         sim = tree_cosine(g_paste, astate.grad_bank)
         thr = (
             dynamic_threshold(astate, acfg.dynamic_percent)
             if acfg.dynamic
             else jnp.float32(acfg.threshold)
         )
-        use_paste = (sim > thr) | jnp.asarray(acfg.mode == "paste_only")
+        decision = apply_compare_baseline(
+            acfg.compare, sim > thr, k_cmp, state.step, acfg.schedule_iters
+        )
+        use_paste = decision | jnp.asarray(acfg.mode == "paste_only")
         astate = push_sim(astate, sim)
         astate = astate.replace(
             n_paste=astate.n_paste + use_paste.astype(jnp.int32),
             n_discard=astate.n_discard + (~use_paste).astype(jnp.int32),
         )
+
+        if acfg.per_instance:
+            # Per-INSTANCE decision (TPU redesign; reference logs per-paste
+            # losses, custom_rcnn.py:385-387 + :671-686, but decides per
+            # batch): drop pasted instances whose stage-0 per-paste CE sits
+            # above the per_instance_percent quantile of this batch's pastes.
+            row_loss = paste_losses["aux_paste_row_loss_stage0"].reshape(-1)
+            row_id = paste_losses["aux_paste_row_id_stage0"].reshape(-1)
+            n_ids = gt_pasted["instance_source"].size + 1  # static id cap
+            seg = jax.ops.segment_sum(row_loss, row_id, num_segments=n_ids)
+            cnt = jax.ops.segment_sum(
+                (row_id > 0).astype(jnp.float32), row_id, num_segments=n_ids
+            )
+            per_id = seg / jnp.maximum(cnt, 1.0)
+            present = (cnt > 0).at[0].set(False)
+            n_present = jnp.maximum(jnp.sum(present), 1)
+            s = jnp.sort(jnp.where(present, per_id, jnp.inf))
+            qidx = jnp.clip(
+                (acfg.per_instance_percent * (n_present - 1)).astype(jnp.int32),
+                0, n_ids - 1,
+            )
+            keep_id = per_id <= s[qidx]
+            ids_gt = gt_pasted["instance_source"]
+            drop = (ids_gt > 0) & present[ids_gt] & ~keep_id[ids_gt]
+            gt_pasted = dict(gt_pasted)
+            gt_pasted["valid"] = gt_pasted["valid"] & ~drop
 
         # choose batch: pasted vs original (paste_or_ori) / zero-loss
         n = batch["gt"]["boxes"].shape[1]
@@ -244,13 +429,33 @@ def make_active_train_step(model, optimizer, cfg) -> Callable:
         ema_params = state.ema_params
         if ema_params is not None:
             ema_params = ema_update(ema_params, params, ema_decay)
+        paste_num = jnp.sum(
+            (gt_pasted["instance_source"] > 0) & gt_pasted["valid"]
+        ).astype(jnp.int32)
         metrics = {
             "total_loss": total,
             "grad_sim": sim,
             "paste_used": use_paste.astype(jnp.float32),
             "threshold": thr,
-            **{k: v.astype(jnp.float32) for k, v in losses.items()},
+            "paste_num": paste_num.astype(jnp.float32),
+            **{
+                k: v.astype(jnp.float32)
+                for k, v in losses.items()
+                if not k.startswith("aux_")
+            },
         }
+        if acfg.per_paste_rows:
+            # per-paste loss columns for the paste_ins_loss decision log
+            # (custom_rcnn.py:671-686); trainer pops this nested entry
+            metrics["aux_paste_rows"] = {
+                "loss": paste_losses["aux_paste_row_loss_stage0"],
+                "max_class": paste_losses["aux_paste_row_max_class_stage0"],
+                "max_loss": paste_losses["aux_paste_row_max_loss_stage0"],
+                "id": paste_losses["aux_paste_row_id_stage0"],
+                "gt_ids": gt_pasted["instance_source"],
+                "gt_valid": gt_pasted["valid"],
+                "gt_classes": gt_pasted["classes"],
+            }
         new_state = TrainState(state.step + 1, params, opt_state, ema_params)
         return new_state, astate, metrics
 

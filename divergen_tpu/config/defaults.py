@@ -253,6 +253,18 @@ def get_cfg() -> ConfigNode:
     a.INNER_LR = 0.01
     a.SEPARATE_SYN = False
     a.LOG_PERIOD = 100
+    # decision-baseline ablations (ref ACTIVE_COMPARE, custom_rcnn.py:
+    # 1097-1169): default | all | random | random_<p> | prob | schedule
+    a.COMPARE = "default"
+    a.SCHEDULE_ITERS = 90000  # 'schedule' ramp length (ref hardcodes 90000)
+    # per-paste-instance loss columns + unique paste ids (ref
+    # ACTIVE_ONLY_GT_TRAIN + reset_instance_source, custom_rcnn.py:317-345,
+    # detic_fast_rcnn.py:393-429)
+    a.ONLY_GT_TRAIN = False
+    # per-instance (not per-batch) paste decisions driven by the per-paste
+    # loss columns (TPU redesign enabled by the unique ids)
+    a.PER_INSTANCE = False
+    a.PER_INSTANCE_PERCENT = 0.9  # drop pasted instances above this loss quantile
 
     # ---------------- INPUT ----------------
     i = c.INPUT = ConfigNode()

@@ -223,6 +223,9 @@ class CopyPasteMapper:
             out["patch_classes"][slot] = src["gt"]["classes"][i]
             out["patch_valid"][slot] = True
             out["patch_flip"][slot] = rng.random() < 0.5
+            out["patch_filenames"][slot] = (
+                f"scp:{self.dataset[idxs[0]].get('file_name', idxs[0])}#{int(i)}"
+            )[:256]
             slot += 1
             if slot >= max_pastes:
                 break
@@ -266,4 +269,5 @@ def _empty_patches(max_pastes: int, ps: int) -> Dict[str, np.ndarray]:
         "patch_classes": np.zeros((max_pastes,), np.int32),
         "patch_valid": np.zeros((max_pastes,), bool),
         "patch_flip": np.zeros((max_pastes,), bool),
+        "patch_filenames": np.full((max_pastes,), "", dtype="<U256"),
     }

@@ -301,6 +301,9 @@ class InstPool:
             "patch_classes": np.zeros((max_pastes,), np.int32),
             "patch_valid": np.zeros((max_pastes,), bool),
             "patch_flip": np.zeros((max_pastes,), bool),
+            # host-side provenance for the BSGAL decision logs
+            # (paste_filename_list, bsgal mapper :556,610-619); stays on host
+            "patch_filenames": np.full((max_pastes,), "", dtype="<U256"),
         }
         count_rng = self.order_rng if self.order_rng is not None else rng
         num = int(count_rng.integers(0, self.max_samples)) if self.max_samples > 0 else 0
@@ -324,6 +327,7 @@ class InstPool:
             out["patch_classes"][slot] = cat
             out["patch_valid"][slot] = True
             out["patch_flip"][slot] = rng.random() < flip_prob
+            out["patch_filenames"][slot] = str(self.dataset[int(idx)])[:256]
             slot += 1
             if slot >= max_pastes:
                 break

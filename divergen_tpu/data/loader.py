@@ -121,7 +121,10 @@ def device_prefetch(batches: Iterator[Dict], size: int = 2) -> Iterator[Dict]:
     def put(b):
         tfms = b.pop("tfms", None)
         out = jax.tree.map(
-            lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x, b
+            lambda x: jax.device_put(x)
+            if isinstance(x, np.ndarray) and x.dtype.kind not in "USO"
+            else x,  # string/object arrays (filename provenance) stay on host
+            b,
         )
         if tfms is not None:
             out["tfms"] = tfms

@@ -30,18 +30,25 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def create_train_state(params, optimizer: optax.GradientTransformation, ema: bool) -> TrainState:
-    return TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        opt_state=optimizer.init(params),
-        # copy=True: astype on an already-f32 leaf would alias the params
-        # buffer and break donation (same buffer donated twice)
-        ema_params=(
-            jax.tree.map(lambda x: jnp.array(x, jnp.float32, copy=True), params)
-            if ema
-            else None
-        ),
-    )
+    # jit the optax/EMA init: eager execution dispatches thousands of tiny
+    # zeros/copy programs (one XLA compile each — minutes of wall time on a
+    # 1-core host); one compiled program instead
+    @jax.jit
+    def _init(params):
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=optimizer.init(params),
+            # copy=True: astype on an already-f32 leaf would alias the params
+            # buffer and break donation (same buffer donated twice)
+            ema_params=(
+                jax.tree.map(lambda x: jnp.array(x, jnp.float32, copy=True), params)
+                if ema
+                else None
+            ),
+        )
+
+    return _init(params)
 
 
 def make_train_step(

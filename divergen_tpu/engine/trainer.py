@@ -172,10 +172,22 @@ def build_train_loader(cfg, mapper=None):
 
 def _init_params(cfg, model, batch):
     rng = jax.random.PRNGKey(cfg.SEED)
-    b = jax.tree.map(jnp.asarray, {k: v for k, v in batch.items() if k != "tfms"})
+    b = jax.tree.map(
+        jnp.asarray,
+        {
+            k: v
+            for k, v in batch.items()
+            if k != "tfms"
+            and not (isinstance(v, np.ndarray) and v.dtype.kind in "USO")
+        },
+    )
     images = b["image"]
     gt = b["gt"]
-    return model.init(rng, images, b["image_size"], gt=gt, rng=rng, training=True)
+    # jit the flax init: eager init runs the whole forward op-by-op, paying
+    # one XLA compile per primitive (minutes on a 1-core host)
+    return jax.jit(
+        lambda: model.init(rng, images, b["image_size"], gt=gt, rng=rng, training=True)
+    )()
 
 
 def do_train(cfg, resume: bool = False, max_steps: Optional[int] = None) -> TrainState:
@@ -201,6 +213,26 @@ def do_train(cfg, resume: bool = False, max_steps: Optional[int] = None) -> Trai
     state_host, start_iter = ckpt.resume_or_load(jax.device_get(state), resume=resume)
     if start_iter > 0:
         state = jax.tree.map(jnp.asarray, state_host)
+
+    def pin_to_mesh(tree):
+        """Give every leaf a mesh-aware sharding. Leaves created on the host
+        (step counter, optax counts, resumed arrays) otherwise carry
+        single-device avals, while the jitted step's OUTPUTS carry the mesh —
+        the aval mismatch silently RETRACED AND RECOMPILED the ~10-minute
+        train step on the second iteration."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        return jax.tree.map(
+            lambda x: x
+            if isinstance(x, jax.Array)
+            and isinstance(x.sharding, NamedSharding)
+            and x.sharding.mesh == mesh
+            else jax.device_put(x, rep),
+            tree,
+        )
+
+    state = pin_to_mesh(state)
     periodic = PeriodicCheckpointer(ckpt, cfg.SOLVER.CHECKPOINT_PERIOD, cfg.SOLVER.MAX_ITER)
 
     active = cfg.MODEL.ACTIVE.ENABLED
@@ -214,13 +246,14 @@ def do_train(cfg, resume: bool = False, max_steps: Optional[int] = None) -> Trai
         a_host, a_it = a_ckpt.resume_or_load(jax.device_get(astate), resume=resume)
         if a_it > 0:
             astate = jax.tree.map(jnp.asarray, a_host)
+        astate = pin_to_mesh(astate)
         step = make_active_train_step(model, optimizer, cfg)
-        # per-rank decision log (BSGAL custom_rcnn.py:610-686 paste_source/)
-        log_dir = os.path.join(out_dir, "paste_source")
-        os.makedirs(log_dir, exist_ok=True)
-        decision_log = open(
-            os.path.join(log_dir, f"rank_{jax.process_index()}.txt"), "a"
-        )
+        # per-rank decision logs in the reference layout
+        # (custom_rcnn.py:610-686: paste_source/rank_*/N0000.txt +
+        # paste_ins_loss/rank_*/N0000.txt)
+        from ..active.bsgal import DecisionLogger, paste_ins_rows
+
+        decision_log = DecisionLogger(out_dir, jax.process_index())
     else:
         step = make_paste_train_step(model, optimizer, cfg)
     storage = EventStorage(start_iter)
@@ -248,27 +281,46 @@ def do_train(cfg, resume: bool = False, max_steps: Optional[int] = None) -> Trai
             batch = next(data_iter)
             batch.pop("tfms", None)
             batch = {k: v for k, v in batch.items() if k != "image_ids"}
+            # host-side provenance (string arrays never reach the device)
+            paste_filenames = batch.pop("patch_filenames", None)
             storage.put_scalar("data_time", time.perf_counter() - t_data)
             if active:
                 # probe = the next real batch (ACTIVE_TEST 'select' pairing
                 # is the mapper's job; any real batch works as the default)
                 probe = next(data_iter)
                 probe.pop("tfms", None)
+                probe.pop("patch_filenames", None)
                 batch["probe"] = {
                     "image": probe["image"],
                     "image_size": probe["image_size"],
                     "gt": probe["gt"],
                 }
                 state, astate, metrics = step(state, astate, batch, rng)
+                aux_rows = metrics.pop("aux_paste_rows", None)
                 if decision_log is not None and ((it + 1) % max(cfg.MODEL.ACTIVE.LOG_PERIOD, 1) == 0 or it == start_iter):
                     h = jax.device_get(
                         {"sim": metrics["grad_sim"], "use": metrics["paste_used"],
-                         "thr": metrics["threshold"]}
+                         "thr": metrics["threshold"], "num": metrics["paste_num"]}
                     )
-                    decision_log.write(
-                        f"{it}\t{float(h['sim']):.6f}\t{int(h['use'])}\t{float(h['thr']):.6f}\n"
+                    names, sel_classes = [], []
+                    if paste_filenames is not None and "patch_classes" in batch:
+                        fn_flat = np.asarray(paste_filenames).reshape(-1).tolist()
+                        cls_flat = jax.device_get(batch["patch_classes"]).reshape(-1).tolist()
+                        for f, c in zip(fn_flat, cls_flat):
+                            if f:
+                                names.append(f)
+                                sel_classes.append(int(c))
+                    decision_log.log_decision(
+                        it, names or ["<none>"], sel_classes or [-1],
+                        int(h["use"]), float(h["sim"]), float(h["thr"]),
+                        int(h["num"]),
                     )
-                    decision_log.flush()
+                    if aux_rows is not None:
+                        rows = paste_ins_rows(jax.device_get(aux_rows), paste_filenames)
+                        if rows:
+                            decision_log.log_paste_ins(
+                                it, rows, int(h["use"]), int(h["num"])
+                            )
                 if (it + 1) % cfg.MODEL.ACTIVE.BANK_CKPT_PERIOD == 0:
                     a_ckpt.save(it + 1, jax.device_get(astate))
             else:

@@ -73,6 +73,10 @@ class ROIHeadsConfig:
     norm_temp: float = 50.0
     use_zeroshot_cls: bool = False
     split_paste_loss: bool = False  # BSGAL per-source CE keys
+    # BSGAL ACTIVE_ONLY_GT_TRAIN per-paste-instance loss columns
+    # (detic_fast_rcnn.py:393-429 loss_cls_per_paste): emit per-row no-fed
+    # CE for pasted proposals as aux_* arrays (not scalars)
+    per_paste_loss: bool = False
     mask_head_name: str = "MaskRCNNConvUpsampleHead"  # or RefineMaskHead
     sem_seg_weight: float = 0.25
     # weak supervision on image-labeled data (detic_fast_rcnn.py:340-583,
@@ -115,6 +119,8 @@ class ROIHeadsConfig:
             smooth_l1_beta=b.SMOOTH_L1_BETA,
             box_reg_loss_type=b.BBOX_REG_LOSS_TYPE,
             split_paste_loss=cfg.MODEL.ACTIVE.ENABLED,
+            per_paste_loss=cfg.MODEL.ACTIVE.ENABLED
+            and (cfg.MODEL.ACTIVE.ONLY_GT_TRAIN or cfg.MODEL.ACTIVE.PER_INSTANCE),
             mask_head_name=mk.NAME,
             sem_seg_weight=mk.SEM_SEG_WEIGHT,
             use_sigmoid_ce=b.USE_SIGMOID_CE,
@@ -908,6 +914,28 @@ def _fast_rcnn_losses(
         row_ce = jnp.sum(bce, axis=-1)
         extra["loss_paste_ins"] = jnp.sum(jnp.where(is_paste, row_ce, 0.0)) / n_valid
         extra["loss_nopaste_ins"] = jnp.sum(jnp.where(~is_paste, row_ce, 0.0)) / n_valid
+    if c.per_paste_loss and instance_source is not None:
+        # ACTIVE_ONLY_GT_TRAIN per-paste loss columns (loss_cls_per_paste,
+        # bsgal detic_fast_rcnn.py:393-429 + custom_rcnn.py:385-387): raw
+        # (no-fed) per-row CE for pasted proposals. Static shapes: (B, P)
+        # arrays masked by is_paste, keyed aux_* so every loss-summing call
+        # site skips them. With unique paste ids in ``instance_source``
+        # (active.bsgal.unique_paste_ids) each pasted GT row is identified.
+        bce_nofed = optax_sigmoid_bce(flat_scores[:, :num_classes], target)
+        is_paste_r = (instance_source.reshape(-1) > 0) & flat_valid
+        row_nofed = jnp.where(is_paste_r, jnp.sum(bce_nofed, axis=-1), 0.0)
+        # reference argmax/max run over the raw per-class CE columns
+        # (custom_rcnn.py:386-387), gt column included
+        extra["aux_paste_row_loss"] = row_nofed.reshape(b, p)
+        extra["aux_paste_row_max_class"] = jnp.where(
+            is_paste_r, jnp.argmax(bce_nofed, axis=-1), -1
+        ).reshape(b, p)
+        extra["aux_paste_row_max_loss"] = jnp.where(
+            is_paste_r, jnp.max(bce_nofed, axis=-1), 0.0
+        ).reshape(b, p)
+        extra["aux_paste_row_id"] = jnp.where(
+            is_paste_r, instance_source.reshape(-1), 0
+        ).reshape(b, p)
 
     # box regression on fg rows, class-agnostic (box_reg_loss :271-305)
     fg = (flat_classes >= 0) & (flat_classes < num_classes) & flat_valid

@@ -7,11 +7,15 @@ import pytest
 
 from divergen_tpu.active.bsgal import (
     ActiveState,
+    DecisionLogger,
+    apply_compare_baseline,
     dynamic_threshold,
     init_active_state,
     make_active_train_step,
+    paste_ins_rows,
     push_sim,
     tree_cosine,
+    unique_paste_ids,
     update_bank,
 )
 from divergen_tpu.config import get_cfg
@@ -45,6 +49,98 @@ def test_dynamic_threshold_percentile():
         st = push_sim(st, jnp.float32(v))
     thr = float(dynamic_threshold(st, 0.5))
     assert thr == pytest.approx(0.3)  # idx floor(0.5*3)=1 of sorted [.1,.3,.5,.9]
+
+
+def test_unique_paste_ids():
+    """reset_instance_source parity (BSGAL custom_rcnn.py:317-329):
+    [0,0,1,1] / [0,1] → [0,0,1,2] / [0,3]."""
+    src = jnp.array([[0, 0, 1, 1], [0, 1, 0, 0]], jnp.int32)
+    valid = jnp.array([[True, True, True, True], [True, True, False, False]])
+    ids = np.asarray(unique_paste_ids(src, valid))
+    np.testing.assert_array_equal(ids, [[0, 0, 1, 2], [0, 3, 0, 0]])
+    # invalid pasted slots get no id
+    ids2 = np.asarray(unique_paste_ids(src, jnp.zeros_like(valid)))
+    assert ids2.sum() == 0
+
+
+def test_apply_compare_baseline_modes():
+    """ACTIVE_COMPARE ablations (custom_rcnn.py:1097-1169)."""
+    k = jax.random.PRNGKey(0)
+    dec_t = jnp.asarray(True)
+    dec_f = jnp.asarray(False)
+    step = jnp.asarray(1000, jnp.int32)
+    # default follows the decision
+    assert bool(apply_compare_baseline("default", dec_f, k, step, 90000)) is False
+    assert bool(apply_compare_baseline("default", dec_t, k, step, 90000)) is True
+    # all always pastes
+    assert bool(apply_compare_baseline("all", dec_f, k, step, 90000)) is True
+    # random_<p>: p=1 always, p=0 never
+    assert bool(apply_compare_baseline("random_1.0", dec_f, k, step, 90000)) is True
+    assert bool(apply_compare_baseline("random_0.0", dec_t, k, step, 90000)) is False
+    # random ~ p=0.5: both outcomes occur over many keys
+    vals = {
+        bool(apply_compare_baseline("random", dec_f, jax.random.PRNGKey(i), step, 90000))
+        for i in range(32)
+    }
+    assert vals == {True, False}
+    # prob: follows the decision ~80% of the time
+    follows = [
+        bool(apply_compare_baseline("prob", dec_t, jax.random.PRNGKey(i), step, 90000))
+        for i in range(200)
+    ]
+    assert 0.65 < np.mean(follows) < 0.95
+    # schedule: at step >= schedule_iters, always paste
+    assert bool(
+        apply_compare_baseline("schedule", dec_f, k, jnp.asarray(90000), 90000)
+    ) is True
+    # at step 0, never forced: follows the decision
+    assert bool(
+        apply_compare_baseline("schedule", dec_f, k, jnp.asarray(0), 90000)
+    ) is False
+    with pytest.raises(NotImplementedError):
+        apply_compare_baseline("nope", dec_t, k, step, 90000)
+
+
+def test_decision_logger_reference_layout(tmp_path):
+    """paste_source/rank_*/N0000.txt + paste_ins_loss files
+    (custom_rcnn.py:610-686)."""
+    import os
+
+    lg = DecisionLogger(str(tmp_path), rank=0)
+    lg.log_decision(12345, ["a.png", "b.png"], [3, 7], 1, 0.12, -0.05, 2)
+    path = tmp_path / "paste_source" / "rank_0" / "20000.txt"
+    assert path.exists()
+    lines = path.read_text().strip().split("\n")
+    assert len(lines) == 2
+    assert lines[0].startswith("a.png select_class: 3 paste: 1 iter: 12345")
+    assert "loss_dif:" in lines[0] and "paste_num: 2" in lines[0]
+    lg.log_paste_ins(5, [("a.png", 3, 0.5, 10, 0.3)], 1, 1)
+    p2 = tmp_path / "paste_ins_loss" / "rank_0" / "10000.txt"
+    assert p2.exists()
+    assert "paste_ins_loss: 0.5" in p2.read_text()
+    assert "max_error_class: 10" in p2.read_text()
+
+
+def test_paste_ins_rows_join():
+    aux = {
+        "gt_ids": np.array([[0, 1, 2], [0, 0, 3]]),
+        "gt_valid": np.array([[True, True, True], [True, False, True]]),
+        "gt_classes": np.array([[5, 6, 7], [5, 6, 8]]),
+        # proposal rows: two rows matched paste id 1, one matched id 3
+        "loss": np.array([[0.0, 2.0, 4.0], [0.0, 0.0, 6.0]]),
+        "id": np.array([[0, 1, 1], [0, 0, 3]]),
+        "max_class": np.array([[0, 9, 9], [0, 0, 11]]),
+        "max_loss": np.array([[0.0, 1.0, 3.0], [0.0, 0.0, 5.0]]),
+    }
+    fns = np.array([["p0.png", "p1.png"], ["p2.png", ""]])
+    rows = paste_ins_rows(aux, fns)
+    # image 0: ids 1, 2 (id 2 matched no proposal rows); image 1: id 3
+    assert len(rows) == 3
+    by_fn = {r[0]: r for r in rows}
+    assert by_fn["p0.png"][2] == pytest.approx(3.0)  # mean of rows 2.0, 4.0
+    assert by_fn["p0.png"][4] == pytest.approx(3.0)  # max of max_loss
+    assert by_fn["p2.png"][2] == pytest.approx(6.0)
+    assert by_fn["p1.png"][2] == 0.0  # no matched rows
 
 
 def _tiny_batch(rng, b=2, n=4, p=2, size=64, ps=16, n_classes=4):
@@ -146,3 +242,47 @@ def test_active_step_runs_and_decides():
     state2, astate2, m2 = step2(state2, astate2, batch, jax.random.PRNGKey(2))
     assert float(m2["paste_used"]) == 0.0
     assert int(astate2.n_discard) == 1
+
+
+@pytest.mark.slow
+def test_active_step_per_instance_rows():
+    """ONLY_GT_TRAIN/PER_INSTANCE path: unique paste ids flow into the
+    stage-0 per-paste loss columns, metrics carry the aux rows, and the
+    per-instance drop keeps shapes static."""
+    cfg = get_cfg()
+    cfg.MODEL.ACTIVE.ENABLED = True
+    cfg.MODEL.ACTIVE.THRESHOLD = -1e9
+    cfg.MODEL.ACTIVE.ONLY_GT_TRAIN = True
+    cfg.MODEL.ACTIVE.PER_INSTANCE = True
+    cfg.MODEL.ACTIVE.PER_INSTANCE_PERCENT = 0.5
+    cfg.MODEL.CENTERNET.NUM_CLASSES = 4
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.CENTERNET.PRE_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.CENTERNET.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
+    cfg.MODEL.ROI_MASK_HEAD.GT_SIDE = 16
+    cfg.FP16 = False
+    model = build_model(cfg)
+    rng = np.random.RandomState(1)
+    batch = _tiny_batch(rng)
+    params = model.init(
+        jax.random.PRNGKey(0), batch["image"], batch["image_size"],
+        gt=batch["gt"], rng=jax.random.PRNGKey(1), training=True,
+    )
+    opt = build_optimizer(cfg, params)
+    state = create_train_state(params, opt, ema=False)
+    astate = init_active_state(
+        jax.tree.map(lambda x: jnp.array(x, copy=True), params), queue_size=8
+    )
+    step = make_active_train_step(model, opt, cfg)
+    state, astate, metrics = step(state, astate, batch, jax.random.PRNGKey(3))
+    assert int(state.step) == 1
+    aux = jax.device_get(metrics["aux_paste_rows"])
+    assert aux["loss"].ndim == 2 and aux["id"].shape == aux["loss"].shape
+    # unique ids were assigned to pasted gt slots
+    ids = np.asarray(aux["gt_ids"])
+    pasted = ids[ids > 0]
+    assert len(pasted) > 0 and len(set(pasted.tolist())) == len(pasted)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["paste_num"]) <= pasted.size
