@@ -32,20 +32,65 @@ def build_evaluator(cfg, dataset_name: str):
         return CustomCOCOEvaluator(dataset_name)
     if etype == "oid":
         return OIDEvaluator(dataset_name)
+    if etype == "lvis_to_coco":
+        from ..evaluation.lvis_evaluator import LVISToCOCOEvaluator
+
+        meta = MetadataCatalog.get(dataset_name)
+        return LVISToCOCOEvaluator(
+            dataset_name,
+            mapper_json=getattr(meta, "lvis_to_coco_mapper", None),
+            lvis_json=getattr(meta, "lvis_json", None),
+        )
     raise NotImplementedError(etype)
 
 
 def inference_on_dataset(model, params, cfg, dataset_name: str, evaluator,
-                         batch_size: int = 8, max_images: Optional[int] = None) -> Dict:
+                         batch_size: int = 8, max_images: Optional[int] = None,
+                         mesh=None) -> Dict:
+    """Timed eval loop (divergen/evaluation/evaluator.py:106-216), sharded
+    over the data axis: the batch is split across chips with ``pmap`` (the
+    reference shards the 19.8k-image LVIS val pass across ranks with
+    InferenceSampler + per-rank loops). pmap rather than a GSPMD mesh on
+    purpose: the per-device program is the plain single-chip inference graph
+    (the NMS fixpoint / top-k control flow partitions trivially along the
+    mapped batch axis; spmd-partitioning the same graph was observed to
+    blow up compile time)."""
     dataset = DatasetCatalog.get(dataset_name)
     if max_images:
         dataset = dataset[:max_images]
     mapper = DatasetMapper(cfg, is_train=False)
     canvas = mapper.canvas
 
-    @jax.jit
-    def infer(params, images, sizes):
-        return model.apply(params, images, sizes, training=False)
+    dp = cfg.PARALLEL.DATA_PARALLEL if mesh is None else mesh.shape["data"]
+    n_dev = len(jax.devices())
+    if dp in (-1, 0) or dp > n_dev:
+        dp = n_dev
+    # batch divisible by the data axis so the shard is even
+    batch_size = max(batch_size, dp)
+    batch_size += (-batch_size) % dp
+
+    if dp > 1:
+        devices = jax.devices()[:dp]
+        _pinfer = jax.pmap(
+            lambda p, im, sz: model.apply(p, im, sz, training=False),
+            devices=devices,
+        )
+        p_rep = jax.device_put_replicated(params, devices)
+
+        def infer(params_unused, images, sizes):
+            b = images.shape[0]
+            out = _pinfer(
+                p_rep,
+                images.reshape((dp, b // dp) + images.shape[1:]),
+                sizes.reshape((dp, b // dp) + sizes.shape[1:]),
+            )
+            return jax.tree.map(lambda x: x.reshape((b,) + x.shape[2:]), out)
+
+    else:
+
+        @jax.jit
+        def infer(params, images, sizes):
+            return model.apply(params, images, sizes, training=False)
 
     evaluator.reset()
     n = len(dataset)
@@ -142,10 +187,14 @@ def inference_on_dataset_exp(model, params, cfg, dataset_name: str, out_dir: str
         evaluator.process(samples, out)
         for b, s in enumerate(samples):
             valid = np.asarray(out["valid"][b])
+            arrays = {
+                "boxes": np.asarray(out["boxes"][b])[valid],
+                "scores": np.asarray(out["scores"][b])[valid],
+                "classes": np.asarray(out["classes"][b])[valid],
+            }
+            if "logits" in out:  # per-box class-score vectors, as documented
+                arrays["logits"] = np.asarray(out["logits"][b])[valid]
             np.savez_compressed(
-                os.path.join(out_dir, f"det_{int(s['image_id'])}.npz"),
-                boxes=np.asarray(out["boxes"][b])[valid],
-                scores=np.asarray(out["scores"][b])[valid],
-                classes=np.asarray(out["classes"][b])[valid],
+                os.path.join(out_dir, f"det_{int(s['image_id'])}.npz"), **arrays
             )
     return evaluator.evaluate()

@@ -199,6 +199,69 @@ class CustomCOCOEvaluator(LVISEvaluator):
         return results
 
 
+class LVISToCOCOEvaluator(CustomCOCOEvaluator):
+    """Cross-dataset evaluation of an LVIS-trained model on COCO
+    (divergen/evaluation/lvis_to_coco_evaluation.py:33-763).
+
+    The model predicts LVIS contiguous class ids; a mapper json (the
+    reference ships ``lvis_to_coco_merge_0.35_results.json``, loaded at
+    :153-164) maps LVIS contiguous id → COCO dataset category id.
+    Detections of unmapped LVIS categories are dropped (:191-199), then the
+    standard COCO protocol runs (COCOeval semantics via DetEval: IoU
+    .5:.95, 100 dets/img, per-class AP table).
+
+    The mapper can also be synthesized by category-name matching with
+    ``tools/build_lvis_to_coco_mapper`` (same synonym rule as
+    ``tools/lvis_to_coco_results.py``).
+    """
+
+    def __init__(
+        self,
+        coco_dataset_name: str,
+        mapper_json: Optional[str] = None,
+        lvis_json: Optional[str] = None,
+        tasks=("bbox", "segm"),
+        max_dets: int = 100,
+    ):
+        super().__init__(coco_dataset_name, tasks, max_dets)
+        if mapper_json is not None:
+            with open(mapper_json) as f:
+                raw = json.load(f)
+            self.lvis_to_coco = {int(k): int(v) for k, v in raw.items()}
+        elif lvis_json is not None:
+            self.lvis_to_coco = build_lvis_to_coco_mapper(
+                lvis_json, self._gt_data["categories"]
+            )
+        else:
+            raise ValueError("provide mapper_json or lvis_json")
+        # record building maps predicted (LVIS contiguous) ids straight to
+        # COCO dataset category ids
+        self.contid2catid = self.lvis_to_coco
+
+    def process(self, inputs, outputs):
+        outputs = dict(outputs)
+        classes = np.asarray(outputs["classes"])
+        keep = np.isin(classes, np.asarray(sorted(self.lvis_to_coco.keys())))
+        outputs["valid"] = np.asarray(outputs["valid"]) & keep
+        super().process(inputs, outputs)
+
+
+def build_lvis_to_coco_mapper(lvis_json: str, coco_categories: List[dict]) -> Dict[int, int]:
+    """LVIS contiguous id → COCO dataset id by synonym/name match (the rule
+    of tools/lvis_to_coco_results.py; stand-in for the reference's shipped
+    merge_0.35 mapping table when it isn't available)."""
+    with open(lvis_json) as f:
+        lvis_cats = sorted(json.load(f)["categories"], key=lambda c: c["id"])
+    coco_by_name = {c["name"].replace(" ", "_"): c["id"] for c in coco_categories}
+    out: Dict[int, int] = {}
+    for cont_id, c in enumerate(lvis_cats):
+        for n in c.get("synonyms", [c.get("name", "")]):
+            if n in coco_by_name:
+                out[cont_id] = coco_by_name[n]
+                break
+    return out
+
+
 class LVISEvaluatorWithLogits(LVISEvaluator):
     """Additionally stores each detection's full class-score vector
     (divergen/evaluation/lvis_evaluation_with_logits.py:22-380) and dumps
@@ -254,42 +317,49 @@ def per_class_ap_table(ev, class_names: Optional[List[str]] = None, cols: int = 
 
 
 class OIDEvaluator(LVISEvaluator):
-    """OpenImages challenge metric (divergen/evaluation/oideval.py:79-698):
-    AP@0.5 only, federated per-image verified labels (pos = gt categories,
-    neg = image-level negative labels), group-of boxes as crowd."""
+    """OpenImages challenge metric — full reference protocol
+    (divergen/evaluation/oideval.py:79-698 via evaluation/oid_eval.py):
+    Google-style argmax-IoU matching at 0.5, federated pos/neg image-label
+    filtering, group-of (crowd) absorption with one max-score TP per group,
+    VOC AP integration, optional hierarchy expansion (AP50_expand), per-class
+    mAP vector + instance-aware AP."""
 
-    def __init__(self, dataset_name: str, tasks=("bbox",), max_dets: int = 300):
+    def __init__(self, dataset_name: str, tasks=("bbox",), max_dets: int = 1000,
+                 output_dir: Optional[str] = None):
         super().__init__(dataset_name, tasks, max_dets)
+        self.output_dir = output_dir
+        meta = MetadataCatalog.get(dataset_name)
+        self.hierarchy_file = getattr(meta, "hierarchy_file", None)
+        self.mask_on = "segm" in tasks
 
     def evaluate(self):
-        data = self._gt_data
-        gt_records = []
-        for a in data["annotations"]:
-            gt_records.append(
-                {
-                    "image_id": a["image_id"],
-                    "category_id": a["category_id"],
-                    "bbox": a["bbox"],
-                    "area": a.get("area", a["bbox"][2] * a["bbox"][3]),
-                    # group-of boxes absorb detections like crowds
-                    "iscrowd": a.get("iscrowd", 0) or a.get("IsGroupOf", 0),
-                }
+        from .oid_eval import OIDEval
+
+        res: Dict[str, float] = {}
+        ev = OIDEval(self._gt_data, self._predictions, iou_type="bbox",
+                     max_dets=self.max_dets)
+        res.update(ev.run())
+        if self.mask_on:
+            ev_seg = OIDEval(self._gt_data, self._predictions, iou_type="segm",
+                             max_dets=self.max_dets)
+            res["AP50_segm"] = ev_seg.run()["AP50"]
+        elif self.hierarchy_file:
+            # AP50_expand: duplicate predictions to hierarchy ancestors
+            # (_evaluate_predictions_on_oid, oideval.py:640-653)
+            with open(self.hierarchy_file) as f:
+                hierarchy = json.load(f)
+            ev_x = OIDEval(
+                self._gt_data, self._predictions, iou_type="bbox",
+                expand_pred_label=True, hierarchy=hierarchy,
+                max_dets=self.max_dets,
             )
-        img_infos = {
-            img["id"]: {
-                "neg_category_ids": img.get("neg_category_ids", []),
-                "pos_category_ids": img.get("pos_category_ids", []),
-            }
-            for img in data["images"]
-        }
-        cat_ids = [c["id"] for c in data["categories"]]
-        ev = DetEval(
-            gt_records, self._predictions, iou_type="bbox", lvis_mode=True,
-            img_infos=img_infos, max_dets=self.max_dets, category_ids=cat_ids,
-            iou_thrs=np.array([0.5]),
-        )
-        ev.evaluate()
-        ev.accumulate()
-        res = ev.summarize()
-        logger.info("%s OID AP50: %s", self.dataset_name, res["AP50"])
+            res["AP50_expand"] = ev_x.run()["AP50"]
+        if self.output_dir:
+            import os
+
+            os.makedirs(self.output_dir, exist_ok=True)
+            np.save(os.path.join(self.output_dir, "oid_mAP.npy"), ev.per_class_ap)
+            with open(os.path.join(self.output_dir, "oid_instances_results.json"), "w") as f:
+                json.dump(self._predictions, f)
+        logger.info("%s OID results: %s", self.dataset_name, res)
         return {"bbox": res}

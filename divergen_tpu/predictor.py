@@ -123,6 +123,104 @@ class BatchPredictor:
             yield from flush_one()
 
 
+class AsyncPredictor:
+    """Asynchronous multi-worker predictor (divergen/predictor.py:164-253
+    API parity: put/get in request order, __call__, __len__, shutdown,
+    default_buffer_size).
+
+    TPU redesign: worker THREADS instead of mp.Process — JAX devices are
+    shared in-process and XLA dispatch releases the GIL during device
+    compute, so worker threads overlap host pre/post-processing (resize,
+    mask paste) with the chip. With multiple local devices, each worker
+    pins its jitted graph to one device (the reference's one-process-per-
+    GPU becomes one-thread-per-chip)."""
+
+    class _StopToken:
+        pass
+
+    def __init__(self, cfg, params, num_workers: Optional[int] = None,
+                 score_thresh: float = 0.3):
+        import atexit
+        import queue
+        import threading
+
+        import jax
+
+        devices = jax.local_devices()
+        if num_workers is None:
+            num_workers = len(devices)
+        num_workers = max(num_workers, 1)
+        self.task_queue: "queue.Queue" = queue.Queue(maxsize=num_workers * 3)
+        self.result_queue: "queue.Queue" = queue.Queue()
+        self._threads = []
+        for wid in range(num_workers):
+            dev = devices[wid % len(devices)]
+            t = threading.Thread(
+                target=self._worker, args=(cfg, params, dev, score_thresh),
+                daemon=True,
+            )
+            t.start()
+            self._threads.append(t)
+        self.put_idx = 0
+        self.get_idx = 0
+        self.result_rank: List[int] = []
+        self.result_data: List[Dict] = []
+        atexit.register(self.shutdown)
+
+    def _worker(self, cfg, params, device, score_thresh):
+        import jax
+
+        params_dev = jax.device_put(params, device)
+        predictor = Predictor(cfg, params_dev, score_thresh=score_thresh)
+        base_infer = predictor._infer
+
+        def infer_on_device(p, x, s):
+            return base_infer(p, jax.device_put(x, device), jax.device_put(s, device))
+
+        predictor._infer = infer_on_device
+        while True:
+            task = self.task_queue.get()
+            if isinstance(task, AsyncPredictor._StopToken):
+                break
+            idx, image = task
+            self.result_queue.put((idx, predictor(image)))
+
+    def put(self, image: np.ndarray) -> None:
+        self.put_idx += 1
+        self.task_queue.put((self.put_idx, image))
+
+    def get(self) -> Dict[str, np.ndarray]:
+        import bisect
+
+        self.get_idx += 1
+        if self.result_rank and self.result_rank[0] == self.get_idx:
+            res = self.result_data[0]
+            del self.result_data[0], self.result_rank[0]
+            return res
+        while True:
+            idx, res = self.result_queue.get()
+            if idx == self.get_idx:
+                return res
+            insert = bisect.bisect(self.result_rank, idx)
+            self.result_rank.insert(insert, idx)
+            self.result_data.insert(insert, res)
+
+    def __len__(self) -> int:
+        return self.put_idx - self.get_idx
+
+    def __call__(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+        self.put(image)
+        return self.get()
+
+    def shutdown(self) -> None:
+        for _ in self._threads:
+            self.task_queue.put(AsyncPredictor._StopToken())
+
+    @property
+    def default_buffer_size(self) -> int:
+        return len(self._threads) * 5
+
+
 class VisualizationDemo:
     """run_on_image: predict + draw (divergen/predictor.py VisualizationDemo)."""
 

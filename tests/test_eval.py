@@ -160,3 +160,60 @@ def test_oid_evaluator_protocol():
     res = ev.summarize()
     assert res["AP50"] == pytest.approx(1.0)
     assert np.isnan(res["AP75"])  # single-threshold protocol
+
+
+def test_lvis_to_coco_evaluator(tmp_path):
+    """Cross-dataset evaluator (lvis_to_coco_evaluation.py:33-763): LVIS
+    contiguous class ids remapped to COCO category ids via the mapper json;
+    unmapped classes dropped; COCO protocol AP."""
+    import json
+
+    from divergen_tpu.data.catalog import MetadataCatalog
+    from divergen_tpu.evaluation.lvis_evaluator import (
+        LVISToCOCOEvaluator,
+        build_lvis_to_coco_mapper,
+    )
+
+    coco = {
+        "images": [{"id": 1, "height": 100, "width": 100}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 7, "bbox": [10, 10, 30, 30],
+             "area": 900, "iscrowd": 0},
+        ],
+        "categories": [{"id": 7, "name": "person"}, {"id": 9, "name": "dog"}],
+    }
+    jf = tmp_path / "coco.json"
+    jf.write_text(json.dumps(coco))
+    mapper = tmp_path / "mapper.json"
+    mapper.write_text(json.dumps({"0": 7}))  # LVIS cont id 0 → COCO cat 7
+
+    name = "xdset_coco_val"
+    MetadataCatalog.remove(name)
+    meta = MetadataCatalog.get(name)
+    meta.json_file = str(jf)
+    meta.evaluator_type = "lvis_to_coco"
+
+    ev = LVISToCOCOEvaluator(name, mapper_json=str(mapper), tasks=("bbox",))
+    outputs = {
+        "boxes": np.array([[[10.0, 10.0, 40.0, 40.0], [50.0, 50.0, 70.0, 70.0]]]),
+        "scores": np.array([[0.9, 0.95]]),
+        "classes": np.array([[0, 3]]),  # 3 unmapped → dropped
+        "valid": np.array([[True, True]]),
+    }
+    ev.process([{"image_id": 1}], outputs)
+    assert len(ev._predictions) == 1
+    assert ev._predictions[0]["category_id"] == 7
+    res = ev.evaluate()
+    assert res["bbox"]["AP"] == pytest.approx(1.0)
+
+    # name/synonym mapper builder (tools/lvis_to_coco_results.py rule)
+    lvis = {
+        "categories": [
+            {"id": 1, "name": "person", "synonyms": ["person"]},
+            {"id": 2, "name": "weird_thing", "synonyms": ["weird_thing"]},
+        ]
+    }
+    lj = tmp_path / "lvis.json"
+    lj.write_text(json.dumps(lvis))
+    m = build_lvis_to_coco_mapper(str(lj), coco["categories"])
+    assert m == {0: 7}
