@@ -41,25 +41,38 @@ def _diff_time(run_k, k_small, k_big, probe):
     return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
 
-def bench_sdxl(steps_full=50, B=1):
+def bench_sdxl(steps_full=50, B=1, int8=False):
     import jax
     import jax.numpy as jnp
 
     from divergen_tpu.pipeline.generation.scheduler import euler_sigmas, make_scheduler
-    from divergen_tpu.pipeline.generation.unet import UNetSDXL
+    from divergen_tpu.pipeline.generation.unet import (
+        UNetSDXL,
+        transformer_quant_select,
+    )
     from divergen_tpu.pipeline.generation.vae import VAEDecoder
 
-    unet = UNetSDXL(dtype=jnp.bfloat16)
+    unet = UNetSDXL(dtype=jnp.bfloat16, quant=int8)
+    float_unet = UNetSDXL(dtype=jnp.bfloat16)
     lat = jnp.zeros((B, 128, 128, 4), jnp.float32)
     ctx = jnp.zeros((2 * B, 77, 2048), jnp.bfloat16)
     pooled = jnp.zeros((2 * B, 1280), jnp.bfloat16)
     tids = jnp.zeros((2 * B, 6), jnp.float32)
     # jit the init: eager init would run thousands of tiny ops through the
     # async tunnel; one compiled program instead
-    params = jax.jit(unet.init)(jax.random.PRNGKey(0), lat[:1], jnp.zeros((1,)),
-                                ctx[:1], pooled[:1], tids[:1])
+    params = jax.jit(float_unet.init)(jax.random.PRNGKey(0), lat[:1], jnp.zeros((1,)),
+                                      ctx[:1], pooled[:1], tids[:1])
     # serve in bf16: halves HBM and matches the bf16 compute path
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    if int8:
+        # quantize once on device (W8A8, ops/quant.py); in the pipeline this
+        # runs inside the denoise jit before the scan — here it's hoisted so
+        # the per-step differencing measures the steady state either way
+        from divergen_tpu.ops.quant import quantize_param_tree
+
+        params = jax.jit(
+            lambda p: quantize_param_tree(p, select=transformer_quant_select)
+        )(params)
     sched = make_scheduler("scaled_linear")
     ts, sigmas = euler_sigmas(sched, steps_full)
     ts_j = jnp.asarray(ts, jnp.float32)
@@ -206,7 +219,21 @@ def bench_paste():
 
 
 def main():
-    t_gen = bench_sdxl()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--B", type=int, default=1)
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--gen_only", action="store_true")
+    args = ap.parse_args()
+
+    t_gen = bench_sdxl(steps_full=args.steps, B=args.B, int8=args.int8)
+    if args.gen_only:
+        print(json.dumps({"metric": "sdxl_s_per_img", "value": round(t_gen, 4),
+                          "unit": f"s/img B={args.B} int8={args.int8}",
+                          "vs_baseline": 0}))
+        return
     t_sam = bench_sam()
     t_clip = bench_clip()
     t_paste = bench_paste()

@@ -1,0 +1,102 @@
+"""int8 quantized matmul path for serving (v5e int8 MXU = 2x bf16 peak).
+
+W8A8 dynamic quantization:
+  * weights: per-output-channel absmax scales, quantized ONCE per generate
+    call (outside the denoise ``lax.scan``, so the elementwise pass over
+    ~2.6 B UNet weights amortizes over all steps);
+  * activations: per-token (row) absmax scales computed in-graph;
+  * the contraction runs int8 x int8 → int32 on the MXU
+    (``preferred_element_type=int32``), dequantized by the rank-1 outer
+    product of scales.
+
+Accuracy: per-channel + per-token dynamic W8A8 keeps SDXL denoising well
+within the visual tolerance of the bf16 path (validated by
+tests/test_quant.py parity bounds and the bench's PSNR check).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+def quantize_weight(w: Array) -> Tuple[Array, Array]:
+    """(in, out) float → (int8 (in, out), f32 (out,) scale). Symmetric
+    per-output-channel absmax."""
+    w = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(w), axis=0) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_act(x: Array) -> Tuple[Array, Array]:
+    """(..., in) float → int8 + per-row scale (..., 1). Symmetric absmax."""
+    ax = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(ax), axis=-1, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(ax / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_matmul(x: Array, w_q: Array, w_scale: Array,
+                out_dtype: Any = jnp.float32) -> Array:
+    """x (..., in) float; w_q int8 (in, out); returns (..., out).
+    Dynamic per-token activation quant + int8 MXU contraction."""
+    x_q, x_scale = quantize_act(x)
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * x_scale * w_scale).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# param-tree transform
+# ---------------------------------------------------------------------------
+
+_QUANT_KEY = "kernel_q"
+_SCALE_KEY = "kernel_scale"
+
+
+def _is_dense_leaf(node: Dict) -> bool:
+    return (
+        isinstance(node, dict)
+        and "kernel" in node
+        and getattr(node["kernel"], "ndim", 0) == 2
+    )
+
+
+def quantize_param_tree(params, select=None):
+    """Replace 2-D ``kernel`` entries with int8 ``kernel_q`` + f32
+    ``kernel_scale`` wherever ``select(path)`` is True (default: every
+    2-D Dense kernel). Modules using ``maybe_int8_dense`` consume either
+    form, so the same flax module runs f32/bf16 or int8 depending on the
+    params passed in."""
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return node
+        if _is_dense_leaf(node) and (select is None or select(path)):
+            q, s = quantize_weight(node["kernel"])
+            out = {k: v for k, v in node.items() if k != "kernel"}
+            out[_QUANT_KEY] = q
+            out[_SCALE_KEY] = s
+            return out
+        return {k: walk(v, path + (k,)) for k, v in node.items()}
+
+    return walk(params, ())
+
+
+def dense_apply(node: Dict, x: Array, dtype: Any) -> Array:
+    """Apply a Dense layer from a raw param node holding either a float
+    ``kernel`` or a quantized ``kernel_q``/``kernel_scale`` pair."""
+    if _QUANT_KEY in node:
+        y = int8_matmul(x, node[_QUANT_KEY], node[_SCALE_KEY], out_dtype=dtype)
+    else:
+        y = x.astype(dtype) @ node["kernel"].astype(dtype)
+    if "bias" in node:
+        y = y + node["bias"].astype(dtype)
+    return y

@@ -42,8 +42,14 @@ class SDXLPipeline:
         steps: int = 50,
         guidance_scale: float = 7.5,
         encoder_reuse: bool = False,
+        int8: bool = False,
         mesh=None,  # jax.sharding.Mesh with a "data" axis → batch sharded
     ):
+        # int8: W8A8 dynamic quantization of the transformer matmuls
+        # (ops/quant.py; v5e int8 MXU = 2x bf16 peak). ``unet`` must be
+        # built with quant=True and ``unet_params`` may be plain float —
+        # they're quantized once per denoise call, outside the step scan.
+        self.int8 = int8
         self.unet = unet
         self.unet_params = unet_params
         self.vae = vae
@@ -80,6 +86,17 @@ class SDXLPipeline:
         g = self.guidance
         sigmas = self._sigmas
         ts = self._ts
+
+        if self.int8:
+            # quantize the transformer weights ONCE per generate call —
+            # the elementwise pass over the UNet weights amortizes over
+            # every step of the scan below
+            from ...ops.quant import quantize_param_tree
+            from .unet import transformer_quant_select
+
+            unet_params = quantize_param_tree(
+                unet_params, select=transformer_quant_select
+            )
 
         ctx = jnp.concatenate([uncond_context, context], axis=0)
         pl = (

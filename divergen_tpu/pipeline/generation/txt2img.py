@@ -42,6 +42,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--guidance", type=float, default=7.5)
     p.add_argument("--tiny", action="store_true", help="tiny random model (smoke/test)")
+    p.add_argument("--int8", action="store_true",
+                   help="W8A8 int8 transformer matmuls (v5e 2x MXU)")
     p.add_argument("--encoder_reuse", action="store_true",
                    help="Faster-Diffusion encoder reuse: skip the UNet down "
                         "path on odd steps (~1.2x faster, approximate)")
@@ -67,12 +69,19 @@ def _build_pipeline(args):
     from .unet import UNetSDXL
     from .vae import VAEDecoder
 
+    int8 = getattr(args, "int8", False)
     if args.tiny:
         unet = UNetSDXL.tiny(dtype=jnp.bfloat16)
         vae = VAEDecoder(channels=(32, 32), dtype=jnp.bfloat16)
     else:
         unet = UNetSDXL(dtype=jnp.bfloat16)
         vae = VAEDecoder(dtype=jnp.bfloat16)
+    # params are always created/loaded as plain float; with --int8 the
+    # apply-time module runs the int8 path and the denoise jit quantizes
+    # the float tree once per generate call, before the step scan
+    float_unet = unet
+    if int8:
+        unet = unet.clone(quant=True)
     rng = jax.random.PRNGKey(0)
     h = max(args.height // 8, 8)
     ctx_dim = unet.context_dim
@@ -83,10 +92,14 @@ def _build_pipeline(args):
     if args.unet_ckpt:
         from ...utils.torch_weights import load_sdxl_unet_params
 
-        unet_params = load_sdxl_unet_params(args.unet_ckpt, unet)
+        unet_params = load_sdxl_unet_params(args.unet_ckpt, float_unet)
     else:
-        unet_params = unet.init(rng, lat, jnp.zeros((1,)), ctx, pooled, tids)
-    vae_params = vae.init(rng, jnp.zeros((1, h, h, 4)))
+        # jit the init: eager flax init dispatches one tiny XLA program per
+        # primitive (unusable at SDXL scale through the axon tunnel)
+        unet_params = jax.jit(
+            lambda: float_unet.init(rng, lat, jnp.zeros((1,)), ctx, pooled, tids)
+        )()
+    vae_params = jax.jit(lambda: vae.init(rng, jnp.zeros((1, h, h, 4))))()
     mesh = None
     if getattr(args, "data_parallel", False) and len(jax.devices()) > 1:
         import numpy as _np
@@ -97,6 +110,7 @@ def _build_pipeline(args):
         unet, unet_params, vae, vae_params, steps=args.steps,
         guidance_scale=args.guidance,
         encoder_reuse=getattr(args, "encoder_reuse", False),
+        int8=int8,
         mesh=mesh,
     ), ctx_dim
 

@@ -78,30 +78,81 @@ def _attention(q: Array, k: Array, v: Array, heads: int) -> Array:
     return out.reshape(b, heads, nq, d).transpose(0, 2, 1, 3).reshape(b, nq, c)
 
 
+class MaybeQuantDense(nn.Module):
+    """Dense layer that runs the v5e int8 MXU path when built with
+    ``quant=True`` (params carry ``kernel_q``/``kernel_scale`` produced by
+    ``ops.quant.quantize_param_tree``); otherwise exact nn.Dense math."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_dim = x.shape[-1]
+        if self.quant:
+            from ...ops.quant import int8_matmul
+
+            kq = self.param(
+                "kernel_q", nn.initializers.zeros_init(), (in_dim, self.features),
+                jnp.int8,
+            )
+            ks = self.param(
+                "kernel_scale", nn.initializers.ones_init(), (self.features,),
+                jnp.float32,
+            )
+            y = int8_matmul(x, kq, ks, out_dtype=self.dtype)
+        else:
+            kernel = self.param(
+                "kernel", nn.initializers.lecun_normal(), (in_dim, self.features)
+            )
+            y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def transformer_quant_select(path: Tuple[str, ...]) -> bool:
+    """Param-tree paths of the MaybeQuantDense modules (the big transformer
+    matmuls; time/class embeddings and convs stay bf16)."""
+    name = path[-1]
+    return name.startswith(("attn1_", "attn2_", "ff_")) or name in (
+        "proj_in", "proj_out",
+    )
+
+
 class TransformerBlock(nn.Module):
     """self-attn → cross-attn → GEGLU FF (diffusers BasicTransformerBlock)."""
 
     channels: int
     heads: int
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
         c = self.channels
+
+        def dense(feat, name, use_bias=True):
+            return MaybeQuantDense(feat, use_bias=use_bias, dtype=self.dtype,
+                                   quant=self.quant, name=name)
+
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn1_q")(y)
-        k = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn1_k")(y)
-        v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn1_v")(y)
-        x = x + nn.Dense(c, dtype=self.dtype, name="attn1_out")(_attention(q, k, v, self.heads))
+        q = dense(c, "attn1_q", use_bias=False)(y)
+        k = dense(c, "attn1_k", use_bias=False)(y)
+        v = dense(c, "attn1_v", use_bias=False)(y)
+        x = x + dense(c, "attn1_out")(_attention(q, k, v, self.heads))
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn2_q")(y)
-        k = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn2_k")(context)
-        v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="attn2_v")(context)
-        x = x + nn.Dense(c, dtype=self.dtype, name="attn2_out")(_attention(q, k, v, self.heads))
+        q = dense(c, "attn2_q", use_bias=False)(y)
+        k = dense(c, "attn2_k", use_bias=False)(context)
+        v = dense(c, "attn2_v", use_bias=False)(context)
+        x = x + dense(c, "attn2_out")(_attention(q, k, v, self.heads))
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-        g = nn.Dense(8 * c, dtype=self.dtype, name="ff_geglu")(y)
+        g = dense(8 * c, "ff_geglu")(y)
         a, b = jnp.split(g, 2, axis=-1)
-        return x + nn.Dense(c, dtype=self.dtype, name="ff_out")(a * nn.gelu(b, approximate=False))
+        return x + dense(c, "ff_out")(a * nn.gelu(b, approximate=False))
 
 
 class SpatialTransformer(nn.Module):
@@ -109,20 +160,22 @@ class SpatialTransformer(nn.Module):
     heads: int
     depth: int
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
         b, h, w, c = x.shape
         res = x
         x = GroupNorm32(dtype=self.dtype, name="norm")(x)
-        x = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(x)
+        x = MaybeQuantDense(self.channels, dtype=self.dtype, quant=self.quant,
+                            name="proj_in")(x)
         x = x.reshape(b, h * w, self.channels)
         for i in range(self.depth):
-            x = TransformerBlock(self.channels, self.heads, self.dtype, name=f"block{i}")(
-                x, context
-            )
+            x = TransformerBlock(self.channels, self.heads, self.dtype,
+                                 quant=self.quant, name=f"block{i}")(x, context)
         x = x.reshape(b, h, w, self.channels)
-        x = nn.Dense(self.channels, dtype=self.dtype, name="proj_out")(x)
+        x = MaybeQuantDense(self.channels, dtype=self.dtype, quant=self.quant,
+                            name="proj_out")(x)
         return x + res
 
 
@@ -159,6 +212,7 @@ class UNetSDXL(nn.Module):
     addition_time_embed_dim: int = 256
     pooled_proj_dim: int = 2816  # 1280 pooled + 6*256 time ids
     num_class_embeds: Optional[int] = None  # SD-x4-upscaler: 1000 noise levels
+    quant: bool = False  # int8 transformer matmuls (ops/quant.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -215,7 +269,7 @@ class UNetSDXL(nn.Module):
                     if self.transformer_depths[lvl]:
                         x = SpatialTransformer(
                             ch, ch // self.head_dim, self.transformer_depths[lvl],
-                            self.dtype, name=f"down{lvl}_attn{i}",
+                            self.dtype, quant=self.quant, name=f"down{lvl}_attn{i}",
                         )(x, context)
                     skips.append(x)
                 if lvl < len(self.block_channels) - 1:
@@ -230,7 +284,8 @@ class UNetSDXL(nn.Module):
         ch = self.block_channels[-1]
         x = ResBlock(ch, self.dtype, name="mid_res0")(x, emb)
         x = SpatialTransformer(
-            ch, ch // self.head_dim, self.transformer_depths[-1], self.dtype, name="mid_attn"
+            ch, ch // self.head_dim, self.transformer_depths[-1], self.dtype,
+            quant=self.quant, name="mid_attn",
         )(x, context)
         x = ResBlock(ch, self.dtype, name="mid_res1")(x, emb)
         # up
@@ -242,7 +297,7 @@ class UNetSDXL(nn.Module):
                 if self.transformer_depths[lvl]:
                     x = SpatialTransformer(
                         ch, ch // self.head_dim, self.transformer_depths[lvl],
-                        self.dtype, name=f"up{lvl}_attn{i}",
+                        self.dtype, quant=self.quant, name=f"up{lvl}_attn{i}",
                     )(x, context)
             if lvl > 0:
                 x = Upsample(ch, self.dtype, name=f"up{lvl}_us")(x)
