@@ -74,9 +74,11 @@ def test_window_attention_hardware_grads(h):
     g1 = jax.grad(loss_f(lambda *a: fused_window_attention(*a, use_pallas=True)),
                   argnums=(0, 1, 2, 3))(q, k, v, bias)
     g2 = jax.grad(loss_f(_reference), argnums=(0, 1, 2, 3))(q, k, v, bias)
+    # tolerance sized for the kernel's bf16 MXU dots (the XLA reference runs
+    # f32): worst observed on v5e is ~8e-3 abs on O(1) grads
     for name, a, b_ in zip("qkvb", g1, g2):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b_), atol=5e-3, rtol=5e-3, err_msg=f"d{name}"
+            np.asarray(a), np.asarray(b_), atol=2e-2, rtol=2e-2, err_msg=f"d{name}"
         )
 
 
@@ -124,11 +126,19 @@ def test_roi_align_matmul_form_parity():
         [[2.0, 3.0, 20.0, 25.0], [0.0, 0.0, 31.0, 31.0], [10.5, 4.25, 18.75, 30.0]],
         jnp.float32,
     )
-    got = np.asarray(jax.jit(
-        lambda f, b: roi_align(f, b, 7, 1.0)
-    )(fmap, boxes))
+    # algorithmic parity: force true-f32 matmuls so only the separable-
+    # matmul reformulation (not MXU bf16 rounding) is under test
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(jax.jit(
+            lambda f, b: roi_align(f, b, 7, 1.0)
+        )(fmap, boxes))
     want = _roi_align_gather_reference(fmap, boxes, 7, 1.0)
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+    # production path (default precision = bf16 MXU passes): loose bound
+    got_bf16 = np.asarray(jax.jit(
+        lambda f, b: roi_align(f, b, 7, 1.0)
+    )(fmap, boxes))
+    np.testing.assert_allclose(got_bf16, want, atol=2e-2, rtol=2e-2)
 
 
 # ---------------- NMS ----------------
