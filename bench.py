@@ -108,9 +108,15 @@ def bench_sdxl(steps_full=50, B=1, int8=False):
     t_denoise = per_step * steps_full
 
     vae = VAEDecoder(dtype=jnp.bfloat16)
-    vparams = jax.jit(vae.init)(jax.random.PRNGKey(1), lat)
+    vparams = jax.jit(vae.init)(jax.random.PRNGKey(1), lat[:1])
     vparams = jax.tree.map(lambda x: x.astype(jnp.bfloat16), vparams)
-    dec = jax.jit(lambda vp, l: vae.apply(vp, l))
+    # per-image decode under one jit (matches SDXLPipeline.generate):
+    # whole-batch 1024² decode OOMs HBM at B≥4
+    dec = jax.jit(
+        lambda vp, l: jax.lax.map(lambda x: vae.apply(vp, x[None])[0], l)
+        if B > 1
+        else vae.apply(vp, l)
+    )
 
     def vae_k(k):
         out = lat
@@ -222,7 +228,10 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--B", type=int, default=1)
+    # B=4 measured best on v5e (5.45 s/img vs 5.58 at B=1, 5.63 at B=8);
+    # int8 off: W8A8 wins 1.3-2x on isolated GEMMs but loses end-to-end
+    # (launch/fusion-barrier overhead), numbers in STATUS.md
+    ap.add_argument("--B", type=int, default=4)
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--gen_only", action="store_true")

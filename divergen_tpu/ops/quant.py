@@ -41,11 +41,39 @@ def quantize_act(x: Array) -> Tuple[Array, Array]:
     return q, scale
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
 def int8_matmul(x: Array, w_q: Array, w_scale: Array,
                 out_dtype: Any = jnp.float32) -> Array:
     """x (..., in) float; w_q int8 (in, out); returns (..., out).
-    Dynamic per-token activation quant + int8 MXU contraction."""
+    Dynamic per-token activation quant + int8 MXU contraction.
+
+    On TPU, tileable shapes run the Pallas kernel
+    (``ops/pallas/int8_matmul.py``): the int32 accumulator stays in VMEM
+    and the dequant fuses into the epilogue — XLA's lowering materializes
+    the int32 accumulator in HBM, which erases the int8 win at SDXL sizes.
+    """
     x_q, x_scale = quantize_act(x)
+    lead = x.shape[:-1]
+    m = 1
+    for s in lead:
+        m *= s
+    k = x.shape[-1]
+    n = w_q.shape[1]
+    if _on_tpu():
+        from .pallas.int8_matmul import int8_matmul_pallas, supported
+
+        if supported(m, k, n):
+            out = int8_matmul_pallas(
+                x_q.reshape(m, k), x_scale.reshape(m, 1), w_q, w_scale,
+                out_dtype=out_dtype,
+            )
+            return out.reshape(*lead, n)
     acc = jax.lax.dot_general(
         x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,

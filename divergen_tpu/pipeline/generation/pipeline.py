@@ -191,7 +191,16 @@ class SDXLPipeline:
             pooled, uncond_pooled, time_ids,
         )
         if decode and self.vae is not None:
-            img = self.vae.apply(self.vae_params, latents)
+            # decode per image under one jit: at 1024² the decoder's
+            # full-res activations are ~GB-scale per image, so a whole-batch
+            # decode OOMs HBM at B≥4 while buying nothing (convs at 1024²
+            # saturate the MXU at batch 1)
+            if latents.shape[0] > 1 and self.mesh is None:
+                img = jax.lax.map(
+                    lambda l: self.vae.apply(self.vae_params, l[None])[0], latents
+                )
+            else:
+                img = self.vae.apply(self.vae_params, latents)
             return jnp.clip((img + 1.0) * 127.5, 0, 255)
         return latents
 

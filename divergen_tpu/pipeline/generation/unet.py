@@ -31,14 +31,75 @@ def timestep_embedding(t: Array, dim: int, max_period: float = 10000.0) -> Array
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
+class FusedLayerNorm(nn.Module):
+    """nn.LayerNorm-compatible (same param names/shapes) over the fused
+    Pallas kernel (ops/pallas/layer_norm.py).
+
+    NOT wired into TransformerBlock: measured end-to-end the per-call Mosaic
+    launch + fusion-barrier cost exceeds the kernel's isolated win at this
+    granularity (210 launches/step took the denoise step 119->131 ms).
+    Kept for coarse-grained callers; the lesson is recorded in STATUS."""
+
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from ...ops.pallas.layer_norm import fused_layer_norm
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        return fused_layer_norm(x.astype(self.dtype), scale, bias, self.epsilon)
+
+
+class _ChannelMomentGN(nn.Module):
+    """GroupNorm via per-CHANNEL spatial moments (param-compatible with
+    nn.GroupNorm: declares the same scale/bias)."""
+
+    groups: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        g = self.groups
+        b, h, w, c = x.shape
+        scale = self.param("scale", nn.initializers.ones_init(), (c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        xf = x.astype(jnp.float32)
+        # per-channel first and second moments over the spatial axes
+        # (sublane-major reduction — vectorizes cleanly)
+        s1 = jnp.mean(xf, axis=(1, 2))  # (B, C)
+        s2 = jnp.mean(xf * xf, axis=(1, 2))
+        # combine channels within each group (tiny (B, g, C/g) reduce)
+        gm = jnp.mean(s1.reshape(b, g, c // g), axis=-1)  # (B, g)
+        g2 = jnp.mean(s2.reshape(b, g, c // g), axis=-1)
+        gv = g2 - gm * gm
+        mean_c = jnp.repeat(gm, c // g, axis=-1)  # (B, C)
+        inv_c = jnp.repeat(jax.lax.rsqrt(gv + 1e-5), c // g, axis=-1)
+        y = (xf - mean_c[:, None, None, :]) * inv_c[:, None, None, :]
+        return (y * scale + bias).astype(self.dtype)
+
+
 class GroupNorm32(nn.Module):
+    """GroupNorm with TPU-friendly moment computation.
+
+    flax/XLA's direct lowering reduces over (H, W, C/g) — the C/g=10-lane
+    group axis crosses vector lanes, which vectorizes poorly (the denoise
+    trace showed these convert+reduce fusions at ~10x the bandwidth bound).
+    Instead: per-channel moments over (H, W), then a tiny per-group
+    combine. Same math; param tree identical to the nn.GroupNorm wrapper
+    (child scope ``GroupNorm_0`` with scale/bias), so checkpoints and the
+    weight converter are unaffected.
+    """
+
     groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         g = math.gcd(self.groups, x.shape[-1])  # tiny test configs <32 ch
-        return nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=self.dtype)(x)
+        return _ChannelMomentGN(groups=g, dtype=self.dtype, name="GroupNorm_0")(x)
 
 
 class ResBlock(nn.Module):
@@ -139,17 +200,25 @@ class TransformerBlock(nn.Module):
             return MaybeQuantDense(feat, use_bias=use_bias, dtype=self.dtype,
                                    quant=self.quant, name=name)
 
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        def norm(name):
+            # LN on the flattened (B*N, C) view: on (B, N, C) XLA tiles the
+            # per-row moments as (B, N) with sublane=B=2, serializing the
+            # lane reduction (trace: 118 us per LN, 44 GB/s); the 2D view
+            # gets full 8-sublane tiling (20 us, 515 GB/s). Free bitcast.
+            ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+            return lambda t: ln(t.reshape(-1, t.shape[-1])).reshape(t.shape)
+
+        y = norm("norm1")(x)
         q = dense(c, "attn1_q", use_bias=False)(y)
         k = dense(c, "attn1_k", use_bias=False)(y)
         v = dense(c, "attn1_v", use_bias=False)(y)
         x = x + dense(c, "attn1_out")(_attention(q, k, v, self.heads))
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = norm("norm2")(x)
         q = dense(c, "attn2_q", use_bias=False)(y)
         k = dense(c, "attn2_k", use_bias=False)(context)
         v = dense(c, "attn2_v", use_bias=False)(context)
         x = x + dense(c, "attn2_out")(_attention(q, k, v, self.heads))
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        y = norm("norm3")(x)
         g = dense(8 * c, "ff_geglu")(y)
         a, b = jnp.split(g, 2, axis=-1)
         return x + dense(c, "ff_out")(a * nn.gelu(b, approximate=False))

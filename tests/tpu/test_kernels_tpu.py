@@ -182,3 +182,39 @@ def test_batched_nms_exact_on_tpu():
     )(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes)))
     want = _nms_numpy(boxes, scores, classes, 0.5)
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------- W8A8 int8 GEMM (fused dequant epilogue) ----------------
+@pytest.mark.parametrize("m,k,n", [(2048, 1280, 1280), (2048, 1280, 10240),
+                                   (8192, 640, 5120)])
+def test_int8_matmul_pallas_parity(m, k, n):
+    from divergen_tpu.ops.quant import quantize_act, quantize_weight
+    from divergen_tpu.ops.pallas.int8_matmul import int8_matmul_pallas, supported
+
+    assert supported(m, k, n)
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(m, k) * 0.1, jnp.bfloat16)
+    w = jnp.asarray(rng.randn(k, n) * 0.02, jnp.float32)
+    wq, ws = quantize_weight(w)
+    xq, xs = quantize_act(x)
+    got = np.asarray(int8_matmul_pallas(xq, xs, wq, ws, out_dtype=jnp.float32))
+    acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    want = np.asarray(acc.astype(jnp.float32) * xs * ws)
+    # integer accumulation is exact; dequant ordering is the only slack
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+# ---------------- fused LayerNorm ----------------
+@pytest.mark.parametrize("shape", [(2048, 1280), (8192, 640), (2, 1024, 1280)])
+def test_fused_layer_norm_parity(shape):
+    from divergen_tpu.ops.pallas.layer_norm import _reference, fused_layer_norm
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(*shape) * 2 + 0.5, jnp.bfloat16)
+    g = jnp.asarray(rng.randn(shape[-1]), jnp.float32)
+    b = jnp.asarray(rng.randn(shape[-1]), jnp.float32)
+    got = np.asarray(jax.jit(lambda *a: fused_layer_norm(*a, 1e-5))(x, g, b),
+                     np.float32)
+    want = np.asarray(jax.jit(lambda *a: _reference(*a, 1e-5))(x, g, b), np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
