@@ -8,7 +8,11 @@ from .losses import (
 )
 from .mask_paste import paste_masks
 from .nms import batched_nms_mask, nms_mask, top_scoring
-from .pallas.flash_attention import flash_attention, reference_attention
+from .pallas.flash_attention import (
+    flash_attention,
+    flash_attention_packed,
+    reference_attention,
+)
 from .roi_align import multilevel_roi_align, roi_align
 from .rotated import nms_rotated, pairwise_iou_rotated, roi_align_rotated
 from .deform_conv import deform_conv2d
@@ -25,6 +29,7 @@ __all__ = [
     "nms_mask",
     "top_scoring",
     "flash_attention",
+    "flash_attention_packed",
     "reference_attention",
     "multilevel_roi_align",
     "roi_align",

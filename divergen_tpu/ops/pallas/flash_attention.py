@@ -214,6 +214,105 @@ def flash_attention(
     return out[:, :s_q, :]
 
 
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, num_kv):
+    """Same online-softmax body as ``_attn_kernel_main`` but on (1, bq, 1, 1, d)
+    blocks sliced straight out of the fused-QKV tensor."""
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, :, 0, 0, :]
+    k = k_ref[0, :, 0, 0, :]
+    v = v_ref[0, :, 0, 0, :]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m_prev = m_scr[:, 0]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+    p = jnp.exp(s - m_cur[:, None])
+    alpha = jnp.exp(m_prev - m_cur)
+    l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
+    acc_scr[:] = acc_scr[:] * alpha[:, None] + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    m_scr[:, 0] = m_cur
+
+    @pl.when(j == num_kv - 1)
+    def _():
+        o_ref[0, :, 0, :] = (
+            acc_scr[:] / jnp.maximum(l_scr[:, 0], 1e-30)[:, None]
+        ).astype(o_ref.dtype)
+
+
+def flash_attention_packed(
+    qkv: Array, heads: int, use_pallas: bool | None = None, interpret: bool = False
+) -> Array:
+    """Self-attention on a fused-QKV tensor without any head transpose.
+
+    ``qkv``: (B, N, 3, H, D) — a free reshape of the (B, N, 3·C) fused
+    projection. q/k/v are never materialized in (BH, N, D) layout; the
+    kernel's BlockSpec index maps slice (1, block, 1, 1, D) blocks for the
+    q/k/v slots directly, and the output lands in (B, N, H, D) — so the
+    whole attention is transpose-free on both sides (the round-1 layout
+    pool around `_attention` was measured at ~15 ms/step,
+    tools/profile_unet.py). Requires N to be a multiple of the tile size
+    (always true for the SDXL 4096/1024-token levels).
+    """
+    b, n, three, h, d = qkv.shape
+    assert three == 3 and h == heads
+    scale = 1.0 / math.sqrt(d)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not (use_pallas or interpret):
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
+        s = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum(
+            "bhnm,bmhd->bnhd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(qkv.dtype).reshape(b, n, h * d)
+
+    block_q, block_k = _pick_blocks(n, n, d)
+    block_q, block_k = min(block_q, n), min(block_k, n)
+    if n % block_q or n % block_k:
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        perm = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+        out = flash_attention(perm(q), perm(k), perm(v))
+        return out.reshape(b, h, n, d).transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+    num_kv = n // block_k
+    grid = (b, h, n // block_q, num_kv)
+    q_spec = pl.BlockSpec((1, block_q, 1, 1, d), lambda bb, hh, i, j: (bb, i, 0, hh, 0),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, block_k, 1, 1, d), lambda bb, hh, i, j: (bb, j, 1, hh, 0),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, block_k, 1, 1, d), lambda bb, hh, i, j: (bb, j, 2, hh, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, block_q, 1, d), lambda bb, hh, i, j: (bb, i, hh, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, scale=scale, num_kv=num_kv),
+        out_shape=jax.ShapeDtypeStruct((b, n, h, d), qkv.dtype),
+        grid=grid,
+        in_specs=[q_spec, k_spec, v_spec],
+        out_specs=out_spec,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out.reshape(b, n, h * d)
+
+
 def reference_attention(q: Array, k: Array, v: Array, bias: Array | None = None) -> Array:
     """Plain XLA softmax attention — numerics reference for the kernel.
 

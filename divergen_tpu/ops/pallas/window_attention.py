@@ -30,12 +30,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _blocking(num_heads: int) -> Tuple[int, int]:
+def _blocking(num_heads: int, bwd: bool = True) -> Tuple[int, int]:
     """(window group G, head block HB): the bwd kernel holds ~6 score-sized
     f32 temporaries, so G·HB·N²·4·6 must stay well inside the 16 MB VMEM —
-    G·HB ≈ 8 at N=144/196."""
+    G·HB ≈ 8 at N=144/196. The fwd kernel only holds s and p (~2.5 score
+    tensors with the bf16 copy), so it can run 3× larger groups, which
+    amortizes grid overhead over more of the tiny d=32 contractions."""
+    budget = 8 if bwd else 24
     hb = min(num_heads, 8)
-    g = max(1, 8 // hb)
+    g = max(1, budget // hb)
     return g, hb
 
 
@@ -46,13 +49,16 @@ def _blocking(num_heads: int) -> Tuple[int, int]:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, m_ref, o_ref, *, scale, has_mask):
     g, h, n, d = q_ref.shape
-    # Mosaic matmul supports one batch dim: flatten (G, H) → GH
-    q = q_ref[...].astype(jnp.float32).reshape(g * h, n, d) * scale
-    k = k_ref[...].astype(jnp.float32).reshape(g * h, n, d)
+    # Mosaic matmul supports one batch dim: flatten (G, H) → GH.
+    # Dots run on the native (bf16) inputs with f32 accumulation — exact
+    # (bf16 multiplies exactly into an f32 accumulator) and 2× the MXU rate
+    # of upcasting first; scale is applied to the f32 scores after.
+    q = q_ref[...].reshape(g * h, n, d)
+    k = k_ref[...].reshape(g * h, n, d)
     v = v_ref[...].reshape(g * h, n, d)
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ).reshape(g, h, n, n)
+    ).reshape(g, h, n, n) * scale
     s = s + b_ref[...].astype(jnp.float32)[None]
     if has_mask:
         s = s + m_ref[...].astype(jnp.float32)[:, None]
@@ -78,14 +84,18 @@ def _bwd_kernel(
     i = pl.program_id(1)
 
     g, h, n, d = q_ref.shape
-    q = q_ref[...].astype(jnp.float32).reshape(g * h, n, d)
-    k = k_ref[...].astype(jnp.float32).reshape(g * h, n, d)
-    v = v_ref[...].astype(jnp.float32).reshape(g * h, n, d)
-    do = do_ref[...].astype(jnp.float32).reshape(g * h, n, d)
+    # native-dtype (bf16) MXU dots with f32 accumulation throughout; p/ds
+    # are cast back to the input dtype for their dots (same contraction
+    # dtype as the XLA autodiff of the unfused path, which also runs the
+    # probability matmuls in the compute dtype).
+    q = q_ref[...].reshape(g * h, n, d)
+    k = k_ref[...].reshape(g * h, n, d)
+    v = v_ref[...].reshape(g * h, n, d)
+    do = do_ref[...].reshape(g * h, n, d)
     s = jax.lax.dot_general(
-        q * scale, k, (((2,), (2,)), ((0,), (0,))),
+        q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).reshape(g, h, n, n)
+    ).reshape(g, h, n, n) * scale
     s = s + b_ref[...].astype(jnp.float32)[None]
     if has_mask:
         s = s + m_ref[...].astype(jnp.float32)[:, None]
@@ -94,18 +104,20 @@ def _bwd_kernel(
     p = (p / jnp.sum(p, axis=-1, keepdims=True)).reshape(g * h, n, n)
 
     # dv = p^T @ do ; dp = do @ v^T ; ds = p*(dp - rowsum(p*dp))
+    pc = p.astype(q.dtype)
     dv = jax.lax.dot_general(
-        p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        pc, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # (GH, N, D)
     dp = jax.lax.dot_general(
         do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # (GH, N, N)
     ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dsc = ds.astype(q.dtype)
     dq = jax.lax.dot_general(
-        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        dsc, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
     dk = jax.lax.dot_general(
-        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        dsc, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
     dq_ref[...] = dq.reshape(g, h, n, d).astype(dq_ref.dtype)
     dk_ref[...] = dk.reshape(g, h, n, d).astype(dk_ref.dtype)
@@ -157,11 +169,11 @@ def _specs(bsz, g, hb, n, d, has_mask, nw):
     return qspec, bspec, mspec
 
 
-def _grid_and_specs(q, mask):
+def _grid_and_specs(q, mask, bwd=True):
     bsz, h, n, d = q.shape
     has_mask = mask is not None
     nw = mask.shape[0] if has_mask else 1
-    g, hb = _blocking(h)
+    g, hb = _blocking(h, bwd)
     while bsz % g or (has_mask and nw % g):
         g -= 1
     while h % hb:
@@ -172,7 +184,7 @@ def _grid_and_specs(q, mask):
 
 def _pallas_fwd(q, k, v, bias, mask, interpret=False):
     scale = 1.0 / math.sqrt(q.shape[-1])
-    grid, (qspec, bspec, mspec), has_mask, n = _grid_and_specs(q, mask)
+    grid, (qspec, bspec, mspec), has_mask, n = _grid_and_specs(q, mask, bwd=False)
     m_in = mask if has_mask else jnp.zeros((1, n, n), q.dtype)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, has_mask=has_mask),

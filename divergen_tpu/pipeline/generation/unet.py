@@ -124,18 +124,26 @@ def _attention(q: Array, k: Array, v: Array, heads: int) -> Array:
     b, nq, c = q.shape
     nk = k.shape[1]
     d = c // heads
-    q = q.reshape(b, nq, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, nq, d)
-    k = k.reshape(b, nk, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, nk, d)
-    v = v.reshape(b, nk, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, nk, d)
-    from ...ops.pallas.flash_attention import flash_attention, reference_attention
-
     if nk <= 128:
         # cross-attention over 77 text tokens: the (Nq, 128-padded) score
         # matrix is tiny — plain XLA beats the flash kernel here (measured
-        # ~12 ms/step on the full UNet, tools/profile_unet.py)
-        out = reference_attention(q, k, v)
-    else:
-        out = flash_attention(q, k, v)  # (B*H, Nq, D); pallas on TPU, XLA ref off
+        # ~12 ms/step on the full UNet, tools/profile_unet.py). Head-split
+        # views only: XLA picks layouts, no explicit (BH, N, D) transpose.
+        qh = q.reshape(b, nq, heads, d)
+        kh = k.reshape(b, nk, heads, d)
+        vh = v.reshape(b, nk, heads, d)
+        s = jnp.einsum("bnhd,bmhd->bhnm", qh, kh,
+                       preferred_element_type=jnp.float32) / math.sqrt(d)
+        p = jax.nn.softmax(s, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", p.astype(vh.dtype), vh,
+                         preferred_element_type=jnp.float32).astype(q.dtype)
+        return out.reshape(b, nq, c)
+    from ...ops.pallas.flash_attention import flash_attention
+
+    q = q.reshape(b, nq, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, nq, d)
+    k = k.reshape(b, nk, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, nk, d)
+    v = v.reshape(b, nk, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, nk, d)
+    out = flash_attention(q, k, v)  # (B*H, Nq, D); pallas on TPU, XLA ref off
     return out.reshape(b, heads, nq, d).transpose(0, 2, 1, 3).reshape(b, nq, c)
 
 
@@ -208,15 +216,20 @@ class TransformerBlock(nn.Module):
             ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
             return lambda t: ln(t.reshape(-1, t.shape[-1])).reshape(t.shape)
 
+        b, n, _ = x.shape
         y = norm("norm1")(x)
-        q = dense(c, "attn1_q", use_bias=False)(y)
-        k = dense(c, "attn1_k", use_bias=False)(y)
-        v = dense(c, "attn1_v", use_bias=False)(y)
-        x = x + dense(c, "attn1_out")(_attention(q, k, v, self.heads))
+        # one fused (C, 3C) projection instead of three (C, C) GEMMs, feeding
+        # the packed transpose-free flash kernel: the (B, N, 3, H, d) view is
+        # free and the kernel slices q/k/v via BlockSpec index maps
+        from ...ops.pallas.flash_attention import flash_attention_packed
+
+        qkv = dense(3 * c, "attn1_qkv", use_bias=False)(y)
+        qkv = qkv.reshape(b, n, 3, self.heads, c // self.heads)
+        x = x + dense(c, "attn1_out")(flash_attention_packed(qkv, self.heads))
         y = norm("norm2")(x)
         q = dense(c, "attn2_q", use_bias=False)(y)
-        k = dense(c, "attn2_k", use_bias=False)(context)
-        v = dense(c, "attn2_v", use_bias=False)(context)
+        kv = dense(2 * c, "attn2_kv", use_bias=False)(context)
+        k, v = jnp.split(kv, 2, axis=-1)
         x = x + dense(c, "attn2_out")(_attention(q, k, v, self.heads))
         y = norm("norm3")(x)
         g = dense(8 * c, "ff_geglu")(y)

@@ -330,17 +330,29 @@ def convert_sdxl_unet(sd: Dict[str, np.ndarray], unet) -> Dict:
     def transformer(dst, src, depth):
         o = out.setdefault(dst, {})
 
+        def _place(name, d):
+            o_ref = o
+            parts = name.split("/")
+            for p in parts[:-1]:
+                o_ref = o_ref.setdefault(p, {})
+            o_ref[parts[-1]] = d
+
         def _lin(name, s, bias=True):
             if f"{s}.weight" in sd:
                 d = {"kernel": _t_linear(sd[f"{s}.weight"])}
                 if bias and f"{s}.bias" in sd:
                     d["bias"] = sd[f"{s}.bias"]
-                o_ref = o
-                parts = name.split("/")
-                for p in parts[:-1]:
-                    o_ref = o_ref.setdefault(p, {})
-                o_ref[parts[-1]] = d
+                _place(name, d)
                 mapped[0] += 1
+
+        def _lin_cat(name, sources):
+            # fused projection (attn1_qkv / attn2_kv): concat the separate
+            # torch matrices along the output dim (bias-free in diffusers)
+            if all(f"{s}.weight" in sd for s in sources):
+                d = {"kernel": np.concatenate(
+                    [_t_linear(sd[f"{s}.weight"]) for s in sources], axis=1)}
+                _place(name, d)
+                mapped[0] += len(sources)
 
         if f"{src}.norm.weight" in sd:
             o["norm"] = {"GroupNorm_0": {"scale": sd[f"{src}.norm.weight"],
@@ -357,13 +369,12 @@ def convert_sdxl_unet(sd: Dict[str, np.ndarray], unet) -> Dict:
                         "scale": sd[f"{s}.weight"], "bias": sd[f"{s}.bias"]
                     }
                     mapped[0] += 1
-            _lin(f"block{j}/attn1_q", f"{tb}.attn1.to_q", bias=False)
-            _lin(f"block{j}/attn1_k", f"{tb}.attn1.to_k", bias=False)
-            _lin(f"block{j}/attn1_v", f"{tb}.attn1.to_v", bias=False)
+            _lin_cat(f"block{j}/attn1_qkv",
+                     [f"{tb}.attn1.to_q", f"{tb}.attn1.to_k", f"{tb}.attn1.to_v"])
             _lin(f"block{j}/attn1_out", f"{tb}.attn1.to_out.0")
             _lin(f"block{j}/attn2_q", f"{tb}.attn2.to_q", bias=False)
-            _lin(f"block{j}/attn2_k", f"{tb}.attn2.to_k", bias=False)
-            _lin(f"block{j}/attn2_v", f"{tb}.attn2.to_v", bias=False)
+            _lin_cat(f"block{j}/attn2_kv",
+                     [f"{tb}.attn2.to_k", f"{tb}.attn2.to_v"])
             _lin(f"block{j}/attn2_out", f"{tb}.attn2.to_out.0")
             _lin(f"block{j}/ff_geglu", f"{tb}.ff.net.0.proj")
             _lin(f"block{j}/ff_out", f"{tb}.ff.net.2")

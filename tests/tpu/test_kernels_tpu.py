@@ -29,6 +29,19 @@ def test_flash_attention_forward_parity(b, s, d):
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
 
 
+# ---------------- packed (transpose-free) flash attention ----------------
+@pytest.mark.parametrize("b,n,h,d", [(2, 1024, 10, 64), (2, 4096, 10, 64)])
+def test_flash_attention_packed_parity(b, n, h, d):
+    """Fused-QKV BlockSpec slicing on hardware, at the SDXL token counts."""
+    from divergen_tpu.ops.pallas.flash_attention import flash_attention_packed
+
+    rng = np.random.RandomState(1)
+    qkv = jnp.asarray(rng.randn(b, n, 3, h, d), jnp.float32)
+    got = np.asarray(flash_attention_packed(qkv, heads=h, use_pallas=True))
+    want = np.asarray(flash_attention_packed(qkv, heads=h, use_pallas=False))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
 # ---------------- fused window attention ----------------
 @pytest.mark.parametrize("h", [3, 12, 24])  # 24 heads → multiple head blocks
 def test_window_attention_hardware_parity(h):

@@ -17,7 +17,7 @@ sys.path.insert(0, ".")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", default="L")
+    ap.add_argument("--size", default="L-22k-384")
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--img", type=int, default=896)
     ap.add_argument("--instances", type=int, default=64)
