@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import optax
 from jax import Array
 
-from ..ops.copy_paste import paste_instances_boxframe
+from ..ops.copy_paste import normalize_cp_method, paste_instances_boxframe
 from ..solver.build import ema_update
 
 
@@ -131,13 +131,16 @@ def apply_compare_baseline(
     grad framework the comparison outcome is ``decision`` (sim > thr).
 
     default  — follow the decision.
+    contra   — invert the decision (ref :1137-1141 flips the '<'/'>').
     all      — always paste.
     random   — paste w.p. 0.5; random_<p> — paste w.p. p.
     prob     — follow the decision w.p. 0.8, inverted otherwise.
     schedule — paste unconditionally w.p. step/schedule_iters, else follow.
     """
-    if compare == "default" or compare == "contra":
+    if compare == "default":
         return decision
+    if compare == "contra":
+        return ~decision
     if compare == "all":
         return jnp.ones((), bool)
     if compare.startswith("random"):
@@ -261,23 +264,73 @@ class ActiveConfig:
     per_instance: bool = False
     per_instance_percent: float = 0.9
     per_paste_rows: bool = False
+    # --- decision machinery selection (ref ACTIVE_GRAD_COMPARE /
+    # ACTIVE_FORWARD_ONCE / ACTIVE_ONCE_MODE, custom_rcnn.py:341-605) ---
+    grad_compare: bool = True  # False → inner-SGD probe-loss comparison
+    forward_once: bool = True  # grad path: paste-keys-only grad from ONE fwd
+    gt_compare: bool = False  # ONCE_MODE 'only_gt': sim(paste) vs sim(nopaste)
+    # ONCE_MODE 'only_paste_dynamic_linear_<s>_<e>': keep-rate annealed
+    # s→e over max_iter, queue percentile = 1-rate (ref :132-136,544-548)
+    dynamic_linear: Optional[Tuple[float, float]] = None
+    max_iter: int = 90000
+    inner_lr: float = 0.01  # loss-compare probe update (ref ACTIVE_LR)
+    bank_update_period: int = 1
+    probe_batch: int = 4  # ACTIVE_TEST_BATCHSIZE (trainer slices the probe)
 
     @staticmethod
     def from_cfg(cfg) -> "ActiveConfig":
         a = cfg.MODEL.ACTIVE
+        threshold = a.THRESHOLD
+        dynamic = a.DYNAMIC_THRESHOLD
+        dynamic_percent = a.DYNAMIC_PERCENT
+        gt_compare = False
+        dynamic_linear = None
+        if a.FORWARD_ONCE and a.GRAD_COMPARE and a.ONCE_MODE:
+            # the reference encodes the once-forward decision in a mode
+            # string (custom_rcnn.py:127-136, 523-548); parse it so BSGAL
+            # YAMLs drive the same behavior here
+            om = a.ONCE_MODE
+            if om == "only_gt":
+                gt_compare = True
+            elif om.startswith("only_paste"):
+                parts = om.split("_")
+                if "dynamic" in parts:
+                    dynamic = True
+                    if "linear" in parts:
+                        dynamic_linear = (float(parts[-2]), float(parts[-1]))
+                    else:
+                        dynamic_percent = 1.0 - float(parts[-1])
+                else:
+                    threshold = float(parts[-1])
+                    dynamic = False
+            else:
+                raise NotImplementedError(f"ACTIVE.ONCE_MODE={om}")
+        if a.OPTIMIZER.lower() != "sgd":
+            raise NotImplementedError(
+                f"ACTIVE.OPTIMIZER={a.OPTIMIZER} (loss-compare inner update "
+                "implements the reference default 'SGD', custom_rcnn.py:150-156)"
+            )
         return ActiveConfig(
             mode=a.MODE,
             loss_keys=tuple(a.LOSS),
             momentum=a.MOMENTUM,
-            threshold=a.THRESHOLD,
-            dynamic=a.DYNAMIC_THRESHOLD,
-            dynamic_percent=a.DYNAMIC_PERCENT,
-            cp_mode=cfg.INPUT.CP_METHOD,
+            threshold=threshold,
+            dynamic=dynamic,
+            dynamic_percent=dynamic_percent,
+            cp_mode=normalize_cp_method(cfg.INPUT.CP_METHOD),
             compare=a.COMPARE,
             schedule_iters=a.SCHEDULE_ITERS,
             per_instance=a.PER_INSTANCE,
             per_instance_percent=a.PER_INSTANCE_PERCENT,
             per_paste_rows=a.ONLY_GT_TRAIN or a.PER_INSTANCE,
+            grad_compare=a.GRAD_COMPARE,
+            forward_once=a.FORWARD_ONCE,
+            gt_compare=gt_compare,
+            dynamic_linear=dynamic_linear,
+            max_iter=cfg.SOLVER.MAX_ITER,
+            inner_lr=a.INNER_LR,
+            bank_update_period=a.BANK_UPDATE_PERIOD,
+            probe_batch=a.PROBE_BATCH,
         )
 
 
@@ -325,6 +378,13 @@ def make_active_train_step(model, optimizer, cfg) -> Callable:
         paste_keys = [k for k in losses if "loss_paste_ins" in k]
         return sum(losses[k].astype(jnp.float32) for k in paste_keys), losses
 
+    def nopaste_part_loss(params, images, sizes, gt, rng):
+        # the non-pasted columns of the SAME forward (ONCE_MODE 'only_gt'
+        # splits one forward's losses into paste vs ori, ref :505-529)
+        losses = model.apply(params, images, sizes, gt=gt, rng=rng, training=True)
+        keys = [k for k in losses if "loss_nopaste_ins" in k]
+        return sum(losses[k].astype(jnp.float32) for k in keys)
+
     def final_loss(params, images, sizes, gt, rng):
         losses = model.apply(params, images, sizes, gt=gt, rng=rng, training=True)
         total = sum(losses[k].astype(jnp.float32) for k in _scalar_keys(losses))
@@ -334,11 +394,6 @@ def make_active_train_step(model, optimizer, cfg) -> Callable:
         rng = jax.random.fold_in(rng, state.step)
         k_probe, k_paste, k_final, k_cmp = jax.random.split(rng, 4)
 
-        # A. real-data probe gradient → EMA bank (:347-354,445-447)
-        g_test = jax.grad(probe_loss)(state.params, batch["probe"], k_probe)
-        astate = update_bank(astate, g_test, acfg.momentum)
-
-        # B. paste-part gradient from ONE pasted forward (:480-549)
         images_pasted, gt_pasted = composite(batch)
         if acfg.per_paste_rows:
             # unique ids 1..P (reset_instance_source, :317-329) so stage-0
@@ -347,17 +402,95 @@ def make_active_train_step(model, optimizer, cfg) -> Callable:
                 gt_pasted["instance_source"], gt_pasted["valid"]
             )
         sizes = batch["image_size"]
-        (_, paste_losses), g_paste = jax.value_and_grad(
-            paste_part_loss, has_aux=True
-        )(state.params, images_pasted, sizes, gt_pasted, k_paste)
+        # original batch padded to the pasted gt width (candidate B of the
+        # decision, and the loss-compare probe's 'ori' side)
+        n = batch["gt"]["boxes"].shape[1]
+        gt_orig_padded = {
+            "boxes": jnp.pad(batch["gt"]["boxes"], ((0, 0), (0, gt_pasted["boxes"].shape[1] - n), (0, 0))),
+            "classes": jnp.pad(batch["gt"]["classes"], ((0, 0), (0, gt_pasted["classes"].shape[1] - n))),
+            "valid": jnp.pad(batch["gt"]["valid"], ((0, 0), (0, gt_pasted["valid"].shape[1] - n))),
+            "masks": jnp.pad(
+                batch["gt"]["masks"],
+                ((0, 0), (0, gt_pasted["masks"].shape[1] - n), (0, 0), (0, 0)),
+            ),
+            "instance_source": jnp.pad(
+                batch["gt"]["instance_source"],
+                ((0, 0), (0, gt_pasted["instance_source"].shape[1] - n)),
+            ),
+        }
 
-        # C. decision (:536-605) + ACTIVE_COMPARE ablation baselines
-        sim = tree_cosine(g_paste, astate.grad_bank)
-        thr = (
-            dynamic_threshold(astate, acfg.dynamic_percent)
-            if acfg.dynamic
-            else jnp.float32(acfg.threshold)
-        )
+        if acfg.grad_compare:
+            # A. real-data probe gradient → EMA bank (:347-354,445-447),
+            # refreshed every BANK_UPDATE_PERIOD steps
+            g_test = jax.grad(probe_loss)(state.params, batch["probe"], k_probe)
+            astate_new = update_bank(astate, g_test, acfg.momentum)
+            if acfg.bank_update_period > 1:
+                do = (state.step % acfg.bank_update_period) == 0
+                astate = jax.tree.map(
+                    lambda nw, od: jnp.where(do, nw, od), astate_new, astate
+                )
+            else:
+                astate = astate_new
+
+            # B. candidate gradient + C. similarity decision (:480-605)
+            if acfg.forward_once:
+                # paste-keys-only grad from ONE pasted forward
+                (_, paste_losses), g_paste = jax.value_and_grad(
+                    paste_part_loss, has_aux=True
+                )(state.params, images_pasted, sizes, gt_pasted, k_paste)
+                sim = tree_cosine(g_paste, astate.grad_bank)
+                if acfg.gt_compare:  # ONCE_MODE 'only_gt' (:523-529)
+                    g_nopaste = jax.grad(nopaste_part_loss)(
+                        state.params, images_pasted, sizes, gt_pasted, k_paste
+                    )
+                    thr = tree_cosine(g_nopaste, astate.grad_bank)
+                elif acfg.dynamic_linear is not None:
+                    s_r, e_r = acfg.dynamic_linear
+                    rate = s_r + (e_r - s_r) * jnp.clip(
+                        state.step.astype(jnp.float32) / float(acfg.max_iter), 0.0, 1.0
+                    )
+                    thr = dynamic_threshold(astate, 1.0 - rate)
+                elif acfg.dynamic:
+                    thr = dynamic_threshold(astate, acfg.dynamic_percent)
+                else:
+                    thr = jnp.float32(acfg.threshold)
+            else:
+                # two-forward grad compare (:366-383, :555-560): full-batch
+                # grads of both candidates against the bank
+                (_, paste_losses), g_paste_full = jax.value_and_grad(
+                    final_loss, has_aux=True
+                )(state.params, images_pasted, sizes, gt_pasted, k_paste)
+                sim = tree_cosine(g_paste_full, astate.grad_bank)
+                g_ori_full, _ = jax.grad(final_loss, has_aux=True)(
+                    state.params, batch["image"], sizes, gt_orig_padded, k_paste
+                )
+                thr = tree_cosine(g_ori_full, astate.grad_bank)
+        else:
+            # loss-compare (ref ACTIVE_GRAD_COMPARE=False default,
+            # :341-399,555-575): virtual inner-SGD step on each candidate,
+            # compare the probe loss afterwards. JAX version needs no
+            # state_dict deepcopy/restore — candidate params are fresh trees.
+            (_, paste_losses), g_paste_full = jax.value_and_grad(
+                final_loss, has_aux=True
+            )(state.params, images_pasted, sizes, gt_pasted, k_paste)
+            params_p = jax.tree.map(
+                lambda p, g: p - acfg.inner_lr * g.astype(p.dtype),
+                state.params, g_paste_full,
+            )
+            loss_paste_test = probe_loss(params_p, batch["probe"], k_probe)
+            g_ori_full, _ = jax.grad(final_loss, has_aux=True)(
+                state.params, batch["image"], sizes, gt_orig_padded, k_paste
+            )
+            params_o = jax.tree.map(
+                lambda p, g: p - acfg.inner_lr * g.astype(p.dtype),
+                state.params, g_ori_full,
+            )
+            loss_ori_test = probe_loss(params_o, batch["probe"], k_probe)
+            # loss_dif > 0 ⇔ paste probe loss lower ⇔ paste better
+            # (compare_loss 'default': '>' when new < old, :1155-1159)
+            sim = loss_ori_test - loss_paste_test
+            thr = jnp.float32(0.0)
+
         decision = apply_compare_baseline(
             acfg.compare, sim > thr, k_cmp, state.step, acfg.schedule_iters
         )
@@ -395,21 +528,7 @@ def make_active_train_step(model, optimizer, cfg) -> Callable:
             gt_pasted["valid"] = gt_pasted["valid"] & ~drop
 
         # choose batch: pasted vs original (paste_or_ori) / zero-loss
-        n = batch["gt"]["boxes"].shape[1]
         images = jnp.where(use_paste, images_pasted, batch["image"])
-        gt_orig_padded = {
-            "boxes": jnp.pad(batch["gt"]["boxes"], ((0, 0), (0, gt_pasted["boxes"].shape[1] - n), (0, 0))),
-            "classes": jnp.pad(batch["gt"]["classes"], ((0, 0), (0, gt_pasted["classes"].shape[1] - n))),
-            "valid": jnp.pad(batch["gt"]["valid"], ((0, 0), (0, gt_pasted["valid"].shape[1] - n))),
-            "masks": jnp.pad(
-                batch["gt"]["masks"],
-                ((0, 0), (0, gt_pasted["masks"].shape[1] - n), (0, 0), (0, 0)),
-            ),
-            "instance_source": jnp.pad(
-                batch["gt"]["instance_source"],
-                ((0, 0), (0, gt_pasted["instance_source"].shape[1] - n)),
-            ),
-        }
         gt = jax.tree.map(
             lambda a, b: jnp.where(
                 use_paste.reshape((1,) * a.ndim), a, b

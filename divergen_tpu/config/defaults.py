@@ -47,6 +47,11 @@ def get_cfg() -> ConfigNode:
     m.PIXEL_STD = [58.395, 57.12, 57.375]
     m.WEIGHTS = ""
     m.SYNC_CAPTION_BATCH = False
+    # per-test-set zero-shot classifier swap (ref config.py:56-59 +
+    # train_net.py:89-93): TEST_CLASSIFIERS[d] is a (zs_dim, C_d) .npy
+    m.RESET_CLS_TESTS = False
+    m.TEST_CLASSIFIERS = []
+    m.TEST_NUM_CLASSES = []
     m.WITH_CAPTION = False
     m.CAP_BATCH_RATIO = 4
     m.DYNAMIC_CLASSIFIER = False
@@ -279,18 +284,14 @@ def get_cfg() -> ConfigNode:
     i.TEST_SIZE = 640
     i.SCALE_RANGE = (0.1, 2.0)
     i.RANDOM_FLIP = "horizontal"
-    i.TEST_INPUT_TYPE = "default"
-    i.NOT_CLAMP_BOX = False
+    i.TEST_INPUT_TYPE = "default"  # default|square (BSGAL train_net.py:96-99)
     # copy-paste surface (divergen/config.py:79-180)
     i.USE_COPY_PASTE = False
-    i.COPY_PASTE_PROB = 1.0
     i.INST_POOL = True
     i.INST_POOL_PATH = ""
     i.INST_POOL_ROOT = ""
-    i.INST_POOL_SAMPLE_NUM = 2
     i.INST_POOL_SAMPLE_STRATEGY = "random"  # random|cas_random|cats_random|...
-    i.COPY_PASTE_METHOD = "basic"  # basic|alpha|gaussian|possion (custom_cp_method.py:5)
-    i.CP_METHOD = "basic"
+    i.CP_METHOD = "basic"  # basic|alpha|gaussian|possion (custom_cp_method.py:5)
     i.COPY_METHOD = "both"  # both|self_copy|syn_copy|p:<f> (mapper :884-890)
     i.SELF_COPY_MODE = "random"  # random|in_domain|cas|the_cls
     i.SELF_COPY_CLS = []  # class ids for the_cls mode (reference SCP_SELECT_CLS)
@@ -298,7 +299,6 @@ def get_cfg() -> ConfigNode:
     i.USE_INSTABOOST = False
     i.USE_COLOR_JITTER = False
     i.COLOR_JITTER_FREQ = ["r", "c", "f"]
-    i.USE_TORCHVISION_JITTER = False
     i.INST_POOL_FREQ = ["r", "c", "f"]
     i.FILTER_VAL = 0.0
     i.RANDOM_SCALE = False  # uniform scale sampling vs area priors (:386-398)
@@ -307,8 +307,11 @@ def get_cfg() -> ConfigNode:
     i.AREA_PRIOR_PATH = "datasets/metadata/area_mean_std2.json"
     i.PASTE_MAX_INST = 20
     i.BLANK_RATIO = 0.0
-    i.ROTATE_AUG = False
-    i.INP_ROTATE_PROB = 0.0
+    # inpaint-rotate augmentation (ref config.py:175-179; the reference
+    # applies it w.p. 2/3 via np.random.randint(0,3), custom_copypaste.py:251)
+    i.USE_INP_ROTATE = False
+    i.INP_ROTATE_PROB = 0.667
+    i.INP_ROTATE_ANG = 30
     i.VIS_RESULT = False
     i.LOG_SCP_PARAM = False
     i.RC_ONLY = False
@@ -342,7 +345,9 @@ def get_cfg() -> ConfigNode:
     dl.USE_RFS = [False]
     dl.MULTI_DATASET_GROUPING = False
     dl.DATASET_ANN = ["box"]
-    dl.USE_TAR_DATASET = False
+    dl.USE_TAR_DATASET = False  # ImageNet-21k in per-class tars (ref config.py:90-92)
+    dl.TARFILE_PATH = "datasets/imagenet/metadata-22k/tar_files.npy"
+    dl.TAR_INDEX_DIR = "datasets/imagenet/metadata-22k/tarindex_npy"
     dl.PREFETCH_FACTOR = 2
     dl.MAX_INSTANCES = 100  # static padded capacity per image
     dl.MAX_PASTES = 8  # static paste slots per image (device compositor)

@@ -239,6 +239,22 @@ class CopyPasteMapper:
         ps = self.pool.patch_size if self.pool else self.cfg.DATALOADER.PATCH_SIZE
         mp = self.max_pastes
 
+        if self.cfg.INPUT.USE_INP_ROTATE and rng.random() < self.cfg.INPUT.INP_ROTATE_PROB:
+            # inpaint-rotate replaces copy-paste for this image (the
+            # reference returns the rotated sample before SCP,
+            # custom_copypaste.py:250-252)
+            from .inp_rotate import inp_rotate_sample
+
+            out = inp_rotate_sample(
+                sample, rng, patch_size=ps, max_pastes=mp,
+                angle_range=float(self.cfg.INPUT.INP_ROTATE_ANG),
+            )
+            if "patches" not in out:
+                out.update(_empty_patches(mp, ps))
+            out.setdefault("patch_angle", np.zeros((mp,), np.float32))
+            out.setdefault("patch_filenames", np.full((mp,), "", dtype="<U256"))
+            return out
+
         method = self.copy_method
         if method == "both" or method.startswith("p:"):
             method = "self_copy" if rng.random() < self.self_copy_prob else "syn_copy"
@@ -259,6 +275,8 @@ class CopyPasteMapper:
         else:
             patches = _empty_patches(mp, ps)
         sample.update(patches)
+        # uniform batch schema across the rotate/pool/self-copy paths
+        sample.setdefault("patch_angle", np.zeros((mp,), np.float32))
         return sample
 
 

@@ -22,6 +22,11 @@ class CustomDatasetMapper(DatasetMapper):
         super().__init__(cfg, is_train)
         self.dataset_ann: List[str] = list(cfg.DATALOADER.DATASET_ANN)
         self.num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
+        if tar_dataset is None and cfg.DATALOADER.USE_TAR_DATASET and is_train:
+            # ImageNet-21k-in-tar path (ref custom_dataset_mapper.py:59-67):
+            # TARFILE_PATH is an .npy list of per-class tar files
+            tar_paths = [str(p) for p in np.load(cfg.DATALOADER.TARFILE_PATH)]
+            tar_dataset = DiskTarDataset(tar_paths, index_dir=cfg.DATALOADER.TAR_INDEX_DIR)
         self.tar_dataset = tar_dataset
 
     def __call__(self, record: dict, rng: Optional[np.random.Generator] = None) -> dict:

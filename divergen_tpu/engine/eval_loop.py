@@ -141,10 +141,27 @@ def do_test(cfg, model=None, state: Optional[TrainState] = None, resume: bool = 
     params = jax.tree.map(jnp.asarray, params)
 
     results = {}
-    for name in cfg.DATASETS.TEST:
+    for d, name in enumerate(cfg.DATASETS.TEST):
+        eval_model, eval_params = model, params
+        if cfg.MODEL.RESET_CLS_TESTS:
+            # swap the zero-shot classifier vocabulary per test set
+            # (ref train_net.py:89-93 reset_cls_test): in zero-shot mode
+            # every other head param is class-agnostic, so a rebuilt module
+            # with the new class count reuses the same params
+            import numpy as np
+
+            from ..modeling.meta_arch.rcnn import build_model, reset_cls_test
+
+            w = np.load(cfg.MODEL.TEST_CLASSIFIERS[d])
+            n_cls = int(cfg.MODEL.TEST_NUM_CLASSES[d]) if cfg.MODEL.TEST_NUM_CLASSES else w.shape[1]
+            assert w.shape[1] == n_cls, (w.shape, n_cls)
+            test_cfg = cfg.clone().defrost()
+            test_cfg.MODEL.ROI_HEADS.NUM_CLASSES = n_cls
+            eval_model = build_model(test_cfg)
+            eval_params = reset_cls_test(params, w)
         evaluator = build_evaluator(cfg, name)
         results[name] = inference_on_dataset(
-            model, params, cfg, name, evaluator, max_images=max_images
+            eval_model, eval_params, cfg, name, evaluator, max_images=max_images
         )
         logger.info("results[%s] = %s", name, results[name])
     return results

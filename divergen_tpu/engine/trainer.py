@@ -30,7 +30,7 @@ from ..data.samplers import (
     repeat_factors_from_category_frequency,
 )
 from ..modeling.meta_arch.rcnn import build_model
-from ..ops.copy_paste import paste_instances_boxframe
+from ..ops.copy_paste import normalize_cp_method, paste_instances_boxframe
 from ..parallel.mesh import batch_sharding, create_mesh, param_sharding_rules, shard_pytree
 from ..solver.build import build_optimizer, ema_update
 from .checkpoint import Checkpointer, PeriodicCheckpointer
@@ -61,7 +61,7 @@ def load_fed_weight(cfg):
 def make_paste_train_step(model, optimizer, cfg):
     """step(state, batch, rng) with in-graph compositing before the fwd/bwd."""
     ema_decay = cfg.MODEL.MODEL_EMA
-    mode = cfg.INPUT.CP_METHOD
+    mode = normalize_cp_method(cfg.INPUT.CP_METHOD)
     use_paste = cfg.INPUT.USE_COPY_PASTE
     fed_weight = load_fed_weight(cfg)
 
@@ -200,6 +200,13 @@ def do_train(cfg, resume: bool = False, max_steps: Optional[int] = None) -> Trai
     batches = iter(loader)
     first = next(batches)
     params = _init_params(cfg, model, first)
+    zs_path = cfg.MODEL.ROI_BOX_HEAD.ZEROSHOT_WEIGHT_PATH
+    if cfg.MODEL.ROI_BOX_HEAD.USE_ZEROSHOT_CLS and zs_path and zs_path != "rand":
+        # load the CLIP-text classifier into the zs_weight params
+        # (ZeroShotClassifier init, detic_fast_rcnn.py / zero_shot_classifier)
+        from ..modeling.meta_arch.rcnn import reset_cls_test
+
+        params = reset_cls_test(params, np.load(zs_path))
     n_params = sum(p.size for p in jax.tree.leaves(params))
     logger.info("model parameters: %.2fM", n_params / 1e6)
 
@@ -290,10 +297,13 @@ def do_train(cfg, resume: bool = False, max_steps: Optional[int] = None) -> Trai
                 probe = next(data_iter)
                 probe.pop("tfms", None)
                 probe.pop("patch_filenames", None)
+                # ACTIVE_TEST_BATCHSIZE (ref config.py:79): the probe uses
+                # the first PROBE_BATCH images of a real batch
+                pb = min(cfg.MODEL.ACTIVE.PROBE_BATCH, probe["image"].shape[0])
                 batch["probe"] = {
-                    "image": probe["image"],
-                    "image_size": probe["image_size"],
-                    "gt": probe["gt"],
+                    "image": probe["image"][:pb],
+                    "image_size": probe["image_size"][:pb],
+                    "gt": jax.tree.map(lambda x: x[:pb], probe["gt"]),
                 }
                 state, astate, metrics = step(state, astate, batch, rng)
                 aux_rows = metrics.pop("aux_paste_rows", None)

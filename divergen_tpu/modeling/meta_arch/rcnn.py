@@ -349,7 +349,10 @@ def reset_cls_test(params, zs_weight, stages=3):
         for k, v in tree.items():
             if isinstance(v, dict):
                 if "zs_weight" in v:
-                    assert np.shape(v["zs_weight"]) == np.shape(zs_weight), (
+                    # zs_dim must match; the class count may differ (the
+                    # reference swaps vocabularies of different sizes per
+                    # test set, train_net.py:89-93 + TEST_NUM_CLASSES)
+                    assert np.shape(v["zs_weight"])[0] == np.shape(zs_weight)[0], (
                         np.shape(v["zs_weight"]), np.shape(zs_weight),
                     )
                     v["zs_weight"] = np.asarray(zs_weight, np.asarray(v["zs_weight"]).dtype)

@@ -281,6 +281,21 @@ def _boxframe_subbox(mask: Array, box: Array) -> Array:
     return jnp.where(jnp.any(on), out, jnp.zeros(4))
 
 
+def normalize_cp_method(method) -> str:
+    """INPUT.CP_METHOD is a list in BSGAL YAMLs (``['basic']``,
+    config.py:187; blend_image samples from it per paste,
+    custom_cp_method.py:6). The device compositor specializes the blend at
+    trace time, so only single-method lists are supported."""
+    if isinstance(method, (list, tuple)):
+        if len(method) != 1:
+            raise NotImplementedError(
+                f"CP_METHOD={method}: per-paste random blend sampling is not "
+                "supported on the static compositor; pick one method"
+            )
+        return method[0]
+    return method
+
+
 def paste_instances_boxframe(
     image: Array,  # (H, W, 3)
     gt_masks: Array,  # (N, S, S) float box-frame crops

@@ -161,12 +161,19 @@ def get_fed_loss_classes(
     appeared = appeared.at[jnp.where(gt_valid, gt_classes, num_classes)].set(True)
     prob = jnp.concatenate([freq_weight, jnp.zeros((1,), freq_weight.dtype)])
     prob = jnp.where(appeared, 0.0, prob)  # appeared classes get weight 0
+    # the NUM_SAMPLE_CATS budget INCLUDES the appeared classes: only the
+    # deficit is sampled as negatives, and none when appeared >= budget
+    # (get_fed_loss_inds: ``num_sample_cats - len(appeared)`` draws)
+    n_appeared = jnp.sum(appeared.astype(jnp.int32))
+    need = jnp.maximum(num_sample_cats - n_appeared, 0)
     # Gumbel top-k == sampling w/o replacement proportional to prob
     gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, prob.shape) + 1e-20) + 1e-20)
     scores = jnp.where(prob > 0, jnp.log(prob + 1e-20) + gumbel, -jnp.inf)
     _, top_idx = jax.lax.top_k(scores, num_sample_cats)
-    # classes with zero prob can leak in when fewer than k have prob>0; drop them
-    sampled = jnp.zeros((num_classes + 1,), bool).at[top_idx].set(True) & (prob > 0)
+    keep = jnp.arange(num_sample_cats) < need  # scores sorted descending
+    sampled = jnp.zeros((num_classes + 1,), bool).at[top_idx].set(keep)
+    # classes with zero prob can leak in when fewer than `need` have prob>0
+    sampled = sampled & (prob > 0)
     mask = appeared | sampled
     return mask.astype(jnp.float32)
 

@@ -286,3 +286,88 @@ def test_active_step_per_instance_rows():
     assert len(pasted) > 0 and len(set(pasted.tolist())) == len(pasted)
     assert np.isfinite(float(metrics["total_loss"]))
     assert float(metrics["paste_num"]) <= pasted.size
+
+
+def test_once_mode_parsing():
+    """ACTIVE_ONCE_MODE strings drive the decision config the way the
+    reference parses them (custom_rcnn.py:127-136, 523-548)."""
+    from divergen_tpu.active.bsgal import ActiveConfig
+
+    def parse(om, **extra):
+        cfg = get_cfg()
+        cfg.MODEL.ACTIVE.ONCE_MODE = om
+        for k, v in extra.items():
+            cfg.MODEL.ACTIVE[k] = v
+        return ActiveConfig.from_cfg(cfg)
+
+    a = parse("only_paste_-0.05")
+    assert a.threshold == pytest.approx(-0.05) and not a.dynamic
+    a = parse("only_paste_0.1")
+    assert a.threshold == pytest.approx(0.1)
+    a = parse("only_gt")
+    assert a.gt_compare and not a.dynamic
+    a = parse("only_paste_dynamic_0.3")
+    assert a.dynamic and a.dynamic_percent == pytest.approx(0.7)
+    a = parse("only_paste_dynamic_linear_0.3_0.5")
+    assert a.dynamic and a.dynamic_linear == (0.3, 0.5)
+    with pytest.raises(NotImplementedError):
+        parse("some_unknown_mode")
+    # FORWARD_ONCE off → the string is not parsed, plain flags win
+    a = parse("only_paste_0.9", FORWARD_ONCE=False)
+    assert a.threshold == pytest.approx(-0.05) and not a.forward_once
+    # loss-compare path selected by GRAD_COMPARE=false (reference default)
+    a = parse("", GRAD_COMPARE=False)
+    assert not a.grad_compare and a.inner_lr == pytest.approx(0.01)
+    with pytest.raises(NotImplementedError):
+        parse("", OPTIMIZER="adam")
+
+
+def _tiny_active_cfg(**active):
+    cfg = get_cfg()
+    cfg.MODEL.ACTIVE.ENABLED = True
+    cfg.MODEL.CENTERNET.NUM_CLASSES = 4
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.CENTERNET.PRE_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.CENTERNET.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
+    cfg.MODEL.ROI_MASK_HEAD.GT_SIDE = 16
+    cfg.FP16 = False
+    for k, v in active.items():
+        cfg.MODEL.ACTIVE[k] = v
+    return cfg
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "active",
+    [
+        {"GRAD_COMPARE": False},  # reference-default loss-compare path
+        {"ONCE_MODE": "only_gt"},  # paste-vs-nopaste grad similarity
+        {"FORWARD_ONCE": False},  # two-forward full-grad compare
+    ],
+    ids=["loss_compare", "only_gt", "two_forward"],
+)
+def test_active_step_decision_paths(active):
+    """The three decision machineries beyond the default once-forward
+    threshold path all run end-to-end and produce a finite decision."""
+    cfg = _tiny_active_cfg(**active)
+    model = build_model(cfg)
+    rng = np.random.RandomState(2)
+    batch = _tiny_batch(rng)
+    params = model.init(
+        jax.random.PRNGKey(0), batch["image"], batch["image_size"],
+        gt=batch["gt"], rng=jax.random.PRNGKey(1), training=True,
+    )
+    opt = build_optimizer(cfg, params)
+    state = create_train_state(params, opt, ema=False)
+    astate = init_active_state(
+        jax.tree.map(lambda x: jnp.array(x, copy=True), params), queue_size=8
+    )
+    step = make_active_train_step(model, opt, cfg)
+    state, astate, metrics = step(state, astate, batch, jax.random.PRNGKey(3))
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["grad_sim"]))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["paste_used"]) in (0.0, 1.0)
+    assert int(astate.n_paste) + int(astate.n_discard) == 1

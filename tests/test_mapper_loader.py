@@ -264,3 +264,33 @@ def test_inp_rotate(image_dataset):
     assert np.abs(out["patch_angle"][out["patch_valid"]]).max() <= np.deg2rad(30) + 1e-6
     # inpainted background differs from the original inside instance boxes
     assert not np.array_equal(out["image"], s["image"])
+
+
+def test_inp_rotate_via_mapper(image_dataset):
+    """USE_INP_ROTATE wired into CopyPasteMapper (reference applies
+    _inp_rotate instead of SCP w.p. INP_ROTATE_PROB,
+    custom_copypaste.py:250-252)."""
+    from divergen_tpu.data.copy_paste_mapper import CopyPasteMapper
+
+    cfg = small_cfg()
+    cfg.INPUT.USE_COPY_PASTE = True
+    cfg.INPUT.INST_POOL = False
+    cfg.INPUT.COPY_METHOD = "self_copy"
+    cfg.INPUT.USE_INP_ROTATE = True
+    cfg.INPUT.INP_ROTATE_PROB = 1.0  # always take the rotate branch
+    m = CopyPasteMapper(DatasetMapper(cfg, True), cfg)
+    m.set_dataset(image_dataset)
+    s = m(image_dataset[0], np.random.default_rng(5))
+    # rotate branch: originals invalidated, patch copies carry supervision
+    assert int(s["patch_valid"].sum()) > 0
+    assert int(s["gt"]["valid"].sum()) == 0
+    assert "patch_angle" in s and "patch_filenames" in s
+    # off → normal SCP path still emits the uniform schema
+    cfg2 = small_cfg()
+    cfg2.INPUT.USE_COPY_PASTE = True
+    cfg2.INPUT.INST_POOL = False
+    cfg2.INPUT.COPY_METHOD = "self_copy"
+    m2 = CopyPasteMapper(DatasetMapper(cfg2, True), cfg2)
+    m2.set_dataset(image_dataset)
+    s2 = m2(image_dataset[0], np.random.default_rng(5))
+    assert "patch_angle" in s2

@@ -104,3 +104,19 @@ def test_reset_cls_test():
     np.testing.assert_array_equal(
         np.asarray(out["params"]["roi_heads"]["box_head0"]["fc1"]["kernel"]), 1
     )
+
+
+def test_reset_cls_test_new_vocab_size():
+    """Per-test-set vocabulary swap may change the class count (ref
+    train_net.py:89-93 + MODEL.TEST_NUM_CLASSES); only zs_dim must match."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from divergen_tpu.modeling.meta_arch.rcnn import reset_cls_test
+
+    params = {"params": {"p": {"zs_weight": jnp.zeros((4, 3))}}}
+    new_w = np.ones((4, 7), np.float32)  # 3 -> 7 classes
+    out = reset_cls_test(params, new_w)
+    assert np.asarray(out["params"]["p"]["zs_weight"]).shape == (4, 7)
+    with np.testing.assert_raises(AssertionError):
+        reset_cls_test(params, np.ones((5, 3), np.float32))  # zs_dim mismatch
