@@ -89,7 +89,13 @@ class PromptEncoder(nn.Module):
             jnp.where((labels == 0)[..., None], bg, pad),
         )
         emb = jnp.where((labels < 0)[..., None], pad, emb + type_emb)
-        return emb
+        # dense embedding used when no mask prompt is given (the reference
+        # broadcasts ``no_mask_embed`` over the image grid,
+        # prompt_encoder.py _get_dense_embeddings)
+        no_mask = self.param(
+            "no_mask_embed", nn.initializers.normal(1.0), (self.embed_dim,)
+        )
+        return emb, no_mask
 
     def dense_pe(self, hw: Tuple[int, int]) -> Array:
         """Positional encoding over the embedding grid (C, h, w → h,w,C)."""
@@ -131,10 +137,17 @@ class TwoWayBlock(nn.Module):
     @nn.compact
     def __call__(self, tokens: Array, image: Array, token_pe: Array, image_pe: Array,
                  first: bool = False):
-        q = tokens if first else tokens + token_pe
-        tokens = nn.LayerNorm(name="ln1")(
-            tokens + TwoWayAttention(self.dim, self.heads, name="self_attn")(q, q, tokens)
-        )
+        # first block skips the PE AND the residual on self-attention
+        # (segment-anything TwoWayAttentionBlock.skip_first_layer_pe)
+        if first:
+            tokens = nn.LayerNorm(name="ln1")(
+                TwoWayAttention(self.dim, self.heads, name="self_attn")(tokens, tokens, tokens)
+            )
+        else:
+            q = tokens + token_pe
+            tokens = nn.LayerNorm(name="ln1")(
+                tokens + TwoWayAttention(self.dim, self.heads, name="self_attn")(q, q, tokens)
+            )
         q = tokens + token_pe
         k = image + image_pe
         tokens = nn.LayerNorm(name="ln2")(
@@ -151,15 +164,22 @@ class TwoWayBlock(nn.Module):
 
 class MaskDecoder(nn.Module):
     dim: int = 256
-    num_masks: int = 3
+    num_masks: int = 3  # multimask outputs returned (token slots 1..3)
+    num_mask_tokens: int = 4  # SAM: 1 single-mask + 3 multimask tokens
     depth: int = 2
 
     @nn.compact
-    def __call__(self, image_emb: Array, image_pe: Array, sparse: Array):
-        """image_emb (B,h,w,C); image_pe (h,w,C); sparse (B,P,C).
-        Returns (masks (B,3,4h,4w), iou (B,3))."""
+    def __call__(self, image_emb: Array, image_pe: Array, sparse: Array,
+                 dense: Optional[Array] = None):
+        """image_emb (B,h,w,C); image_pe (h,w,C); sparse (B,P,C); dense
+        optional (C,) or (B,h,w,C) prompt added to the image embedding
+        (the reference adds no_mask_embed when no mask prompt is given).
+        Returns the MULTIMASK outputs (masks (B,3,4h,4w), iou (B,3)) —
+        SAM's mask-token slots 1..3 of [iou, mask0..mask3]."""
         b, h, w, c = image_emb.shape
-        n_tok = self.num_masks + 1 + 1  # iou + mask tokens (+1 unused 4th SAM slot folded)
+        if dense is not None:
+            image_emb = image_emb + dense.reshape((1,) * (4 - dense.ndim) + dense.shape)
+        n_tok = 1 + self.num_mask_tokens  # iou + 4 mask tokens
         tok = self.param("output_tokens", nn.initializers.normal(1.0), (n_tok, self.dim))
         tokens = jnp.concatenate(
             [jnp.broadcast_to(tok, (b, n_tok, self.dim)), sparse], axis=1
@@ -177,7 +197,10 @@ class MaskDecoder(nn.Module):
             tokens + TwoWayAttention(self.dim, 8, 2, name="final_t2i")(q, image + pe, image)
         )
         iou_token = tokens[:, 0]
-        mask_tokens = tokens[:, 1 : 1 + self.num_masks]
+        # multimask output = mask-token slots 1..3 (segment-anything
+        # mask_decoder.py predict_masks + multimask_output slicing)
+        first_slot = 1 if self.num_mask_tokens > self.num_masks else 0
+        mask_tokens = tokens[:, 1 + first_slot : 1 + first_slot + self.num_masks]
         img = image.reshape(b, h, w, c)
         img = nn.ConvTranspose(self.dim // 4, (2, 2), strides=(2, 2), name="up1")(img)
         img = nn.gelu(nn.LayerNorm(name="up_ln")(img), approximate=False)
@@ -186,9 +209,12 @@ class MaskDecoder(nn.Module):
         hyper = []
         for m in range(self.num_masks):
             y = mask_tokens[:, m]
+            # hypernetwork index = absolute token slot, so converted
+            # checkpoints map output_hypernetworks_mlps.<slot> directly
+            slot = first_slot + m
             for j in range(3):
                 y = nn.Dense(
-                    self.dim // 8 if j == 2 else self.dim, name=f"hyper{m}_fc{j}"
+                    self.dim // 8 if j == 2 else self.dim, name=f"hyper{slot}_fc{j}"
                 )(y if j == 0 else nn.relu(y))
             hyper.append(y)
         hyper = jnp.stack(hyper, axis=1)  # (B, 3, C/8)
@@ -196,9 +222,9 @@ class MaskDecoder(nn.Module):
         iou = iou_token
         for j in range(3):
             iou = nn.Dense(
-                self.num_masks if j == 2 else self.dim, name=f"iou_fc{j}"
+                self.num_mask_tokens if j == 2 else self.dim, name=f"iou_fc{j}"
             )(iou if j == 0 else nn.relu(iou))
-        return masks, iou
+        return masks, iou[:, first_slot : first_slot + self.num_masks]
 
 
 class SAM(nn.Module):
@@ -218,9 +244,9 @@ class SAM(nn.Module):
         mean = jnp.asarray(self.pixel_mean)
         std = jnp.asarray(self.pixel_std)
         emb = self.encoder((images - mean) / std)
-        sparse = self.prompt(points, labels)
+        sparse, dense = self.prompt(points, labels)
         pe = self.prompt.dense_pe(emb.shape[1:3])
-        return self.decoder(emb, pe, sparse)
+        return self.decoder(emb, pe, sparse, dense)
 
     @classmethod
     def vit_h(cls, dtype=jnp.float32) -> "SAM":

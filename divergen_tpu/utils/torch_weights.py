@@ -245,8 +245,70 @@ def convert_sam(sd: Dict[str, np.ndarray], layers: int) -> Dict:
     pr["point_bg"] = sd["prompt_encoder.point_embeddings.0.weight"][0]
     pr["point_fg"] = sd["prompt_encoder.point_embeddings.1.weight"][0]
     pr["not_a_point"] = sd["prompt_encoder.not_a_point_embed.weight"][0]
-    # decoder mapping is a best-effort structural match; the two-way
-    # transformer here follows the public SAM layout
+    pr["no_mask_embed"] = sd["prompt_encoder.no_mask_embed.weight"][0]
+    # box-corner embeddings (point_embeddings.2/3) and mask_downscaling are
+    # prompt types the corner-point protocol never uses — not mapped
+
+    # ---- mask decoder (segment_anything mask_decoder.py + transformer.py) ----
+    d = p["decoder"]
+
+    def attn(src):
+        return {
+            ours: {
+                "kernel": _t_linear(sd[f"{src}.{theirs}.weight"]),
+                "bias": sd[f"{src}.{theirs}.bias"],
+            }
+            for ours, theirs in (
+                ("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                ("out", "out_proj"),
+            )
+        }
+
+    def ln(src):
+        return {"scale": sd[f"{src}.weight"], "bias": sd[f"{src}.bias"]}
+
+    def lin(src):
+        return {"kernel": _t_linear(sd[f"{src}.weight"]), "bias": sd[f"{src}.bias"]}
+
+    tr = "mask_decoder.transformer"
+    i = 0
+    while f"{tr}.layers.{i}.norm1.weight" in sd:
+        L = f"{tr}.layers.{i}"
+        d[f"block{i}"] = {
+            "self_attn": attn(f"{L}.self_attn"),
+            "t2i": attn(f"{L}.cross_attn_token_to_image"),
+            "i2t": attn(f"{L}.cross_attn_image_to_token"),
+            "ln1": ln(f"{L}.norm1"), "ln2": ln(f"{L}.norm2"),
+            "ln3": ln(f"{L}.norm3"), "ln4": ln(f"{L}.norm4"),
+            "mlp1": lin(f"{L}.mlp.lin1"), "mlp2": lin(f"{L}.mlp.lin2"),
+        }
+        i += 1
+    d["final_t2i"] = attn(f"{tr}.final_attn_token_to_image")
+    d["ln_final"] = ln(f"{tr}.norm_final_attn")
+    # [iou_token | mask_token 0..3] — matches MaskDecoder.output_tokens
+    d["output_tokens"] = np.concatenate(
+        [sd["mask_decoder.iou_token.weight"], sd["mask_decoder.mask_tokens.weight"]], 0
+    )
+
+    def deconv(src):
+        # torch ConvTranspose2d (in,out,kh,kw) → flax (kh,kw,in,out) + the
+        # scatter↔fractionally-strided-conv spatial flip
+        w = sd[f"{src}.weight"].transpose(2, 3, 0, 1)
+        return {"kernel": np.ascontiguousarray(w[::-1, ::-1]),
+                "bias": sd[f"{src}.bias"]}
+
+    d["up1"] = deconv("mask_decoder.output_upscaling.0")
+    d["up_ln"] = ln("mask_decoder.output_upscaling.1")  # LayerNorm2d ≡ channel LN
+    d["up2"] = deconv("mask_decoder.output_upscaling.3")
+    # hypernetworks for the multimask token slots 1..3 (slot 0 is the
+    # single-mask output the pipeline never requests)
+    for m in range(1, 4):
+        for j in range(3):
+            d[f"hyper{m}_fc{j}"] = lin(
+                f"mask_decoder.output_hypernetworks_mlps.{m}.layers.{j}"
+            )
+    for j in range(3):
+        d[f"iou_fc{j}"] = lin(f"mask_decoder.iou_prediction_head.layers.{j}")
     return {"params": p}
 
 
@@ -425,3 +487,227 @@ def load_sdxl_unet_params(path: str, unet) -> Dict:
     """Load + convert a diffusers SDXL UNet checkpoint (safetensors/.pth)."""
     sd = load_state_dict(path)
     return convert_sdxl_unet(sd, unet)
+
+
+# ---------------- detectron2 GeneralizedRCNN detector checkpoint ----------------
+def convert_d2_detector(
+    sd: Dict[str, np.ndarray],
+    *,
+    swin_depths=(2, 2, 18, 2),
+    fpn_in_features=("res3", "res4", "res5"),
+    cascade_stages: int = 3,
+    use_zeroshot: bool = False,
+) -> Dict:
+    """Full detector checkpoint (DiverGen/Detic/BSGAL: Swin/ResNet + FPN +
+    CenterNet2 proposals + Detic cascade heads) → our CustomRCNN param tree.
+
+    Key layout follows the reference modules that produce these checkpoints:
+    ``backbone.bottom_up.*`` + ``backbone.fpn_lateral<s>/fpn_output<s>`` +
+    ``backbone.top_block.p6/p7`` (detectron2 fpn.py:84-99),
+    ``proposal_generator.centernet_head.{share,bbox,cls}_tower.<j>`` with
+    Sequential conv/GN/ReLU triples + ``agn_hm``/``bbox_pred``/``scales.<l>``
+    (centernet_head.py:57-108), ``roi_heads.box_head.<k>.fc{1,2}`` +
+    ``roi_heads.box_predictor.<k>.{cls_score,bbox_pred}``
+    (detic_fast_rcnn.py:29-130, zero_shot_classifier.py:9-86) and
+    ``roi_heads.mask_head.{mask_fcn*,deconv,predictor}`` (mask_head.py).
+
+    Returns {"bottom_up":…, "fpn":…, "centernet_head":…, "roi_heads":…}
+    plus "_stats" with mapped/unmapped key lists for coverage asserts.
+    """
+    used = set()
+
+    def take(k):
+        used.add(k)
+        return sd[k]
+
+    out: Dict[str, Any] = {}
+
+    # --- backbone bottom-up ---
+    swin_keys = {k for k in sd if k.startswith("backbone.bottom_up.")}
+    if any(".patch_embed." in k for k in swin_keys):
+        sub = {k[len("backbone.bottom_up."):]: sd[k] for k in swin_keys}
+        out["bottom_up"] = convert_swin(sub, swin_depths)
+        # convert_swin consumes the whole swin surface; rel-pos index buffers
+        # and attn masks are recomputed, not loaded
+        used |= {
+            k for k in swin_keys
+            if not k.endswith(("relative_position_index", "attn_mask"))
+        }
+
+    # --- FPN ---
+    fpn: Dict[str, Any] = {}
+    stages = sorted(
+        int(m.group(1))
+        for m in (re.match(r"backbone\.fpn_lateral(\d+)\.weight$", k) for k in sd)
+        if m
+    )
+    assert len(stages) == len(fpn_in_features), (stages, fpn_in_features)
+
+    def conv_norm(dst, src):
+        d = {"conv": {"kernel": _t_conv(take(f"{src}.weight"))}}
+        if f"{src}.bias" in sd:
+            d["conv"]["bias"] = take(f"{src}.bias")
+        if f"{src}.norm.weight" in sd:
+            d["GroupNorm_0"] = {
+                "scale": take(f"{src}.norm.weight"),
+                "bias": take(f"{src}.norm.bias"),
+            }
+        dst_node = fpn if dst[0] == "fpn" else out.setdefault(dst[0], {})
+        dst_node[dst[1]] = d
+
+    for s, f in zip(stages, fpn_in_features):
+        conv_norm(("fpn", f"lateral_{f}"), f"backbone.fpn_lateral{s}")
+        conv_norm(("fpn", f"output_{f}"), f"backbone.fpn_output{s}")
+    for p in ("p6", "p7"):
+        if f"backbone.top_block.{p}.weight" in sd:
+            conv_norm(("fpn", f"top_{p}"), f"backbone.top_block.{p}")
+    out["fpn"] = fpn
+
+    # --- CenterNet head ---
+    cn: Dict[str, Any] = {}
+    pfx = "proposal_generator.centernet_head"
+    for tower, ours in (("share_tower", "share"), ("bbox_tower", "bbox"),
+                        ("cls_tower", "cls")):
+        # Sequential indices skip the param-less ReLUs: conv at 3k, GN at
+        # 3k+1 (or conv at 2k with norm=''); scan the indices present
+        idxs = sorted(
+            int(m.group(1))
+            for m in (
+                re.match(rf"{re.escape(pfx)}\.{tower}\.(\d+)\.weight$", k)
+                for k in sd
+            )
+            if m
+        )
+        conv_i = 0
+        for j in idxs:
+            w = sd[f"{pfx}.{tower}.{j}.weight"]
+            if w.ndim == 4:  # conv
+                node = cn.setdefault(f"{ours}_{conv_i}", {})
+                node["conv"] = {
+                    "kernel": _t_conv(take(f"{pfx}.{tower}.{j}.weight")),
+                    "bias": take(f"{pfx}.{tower}.{j}.bias"),
+                }
+                conv_i += 1
+            else:  # GroupNorm
+                cn[f"{ours}_{conv_i - 1}"]["GroupNorm_0"] = {
+                    "scale": take(f"{pfx}.{tower}.{j}.weight"),
+                    "bias": take(f"{pfx}.{tower}.{j}.bias"),
+                }
+    for head in ("agn_hm", "bbox_pred"):
+        if f"{pfx}.{head}.weight" in sd:
+            cn[head] = {"conv": {
+                "kernel": _t_conv(take(f"{pfx}.{head}.weight")),
+                "bias": take(f"{pfx}.{head}.bias"),
+            }}
+    l = 0
+    while f"{pfx}.scales.{l}.scale" in sd:
+        cn[f"scale_{l}"] = {"scale": take(f"{pfx}.scales.{l}.scale").reshape(())}
+        l += 1
+    out["centernet_head"] = cn
+
+    # --- cascade ROI heads ---
+    rh: Dict[str, Any] = {}
+    for k in range(cascade_stages):
+        bh = {}
+        for fc in ("fc1", "fc2"):
+            if f"roi_heads.box_head.{k}.{fc}.weight" in sd:
+                bh[fc] = {
+                    "kernel": _t_linear(take(f"roi_heads.box_head.{k}.{fc}.weight")),
+                    "bias": take(f"roi_heads.box_head.{k}.{fc}.bias"),
+                }
+        if bh:
+            rh[f"box_head{k}"] = bh
+        if f"roi_heads.box_predictor.{k}.bbox_pred.weight" not in sd:
+            continue
+        bp = {}
+        cs = f"roi_heads.box_predictor.{k}.cls_score"
+        if use_zeroshot:
+            bp["linear"] = {
+                "kernel": _t_linear(take(f"{cs}.linear.weight")),
+                "bias": take(f"{cs}.linear.bias"),
+            }
+            # reference zs_weight is D x (C+1) with an all-zero background
+            # column appended at init (zero_shot_classifier.py:42-44); ours
+            # keeps D x C and a separate bg_bias logit
+            bp["zs_weight"] = take(f"{cs}.zs_weight")[:, :-1]
+            if f"{cs}.cls_bias" in sd:
+                bp["bg_bias"] = take(f"{cs}.cls_bias")
+        else:
+            bp["cls_score"] = {
+                "kernel": _t_linear(take(f"{cs}.weight")),
+                "bias": take(f"{cs}.bias"),
+            }
+        bp["bbox_pred"] = {
+            "kernel": _t_linear(take(f"roi_heads.box_predictor.{k}.bbox_pred.weight")),
+            "bias": take(f"roi_heads.box_predictor.{k}.bbox_pred.bias"),
+        }
+        rh[f"box_predictor{k}"] = bp
+    mh = {}
+    i = 1
+    while f"roi_heads.mask_head.mask_fcn{i}.weight" in sd:
+        mh[f"mask_fcn{i}"] = {
+            "kernel": _t_conv(take(f"roi_heads.mask_head.mask_fcn{i}.weight")),
+            "bias": take(f"roi_heads.mask_head.mask_fcn{i}.bias"),
+        }
+        i += 1
+    if "roi_heads.mask_head.deconv.weight" in sd:
+        # torch ConvTranspose2d (in, out, kh, kw) → flax (kh, kw, in, out);
+        # torch scatters the kernel directly while lax.conv_transpose treats
+        # it as a fractionally-strided conv — spatial flip converts between
+        # the two (verified in tests/parity/test_detector_convert_parity.py)
+        w = take("roi_heads.mask_head.deconv.weight").transpose(2, 3, 0, 1)
+        mh["deconv"] = {
+            "kernel": np.ascontiguousarray(w[::-1, ::-1]),
+            "bias": take("roi_heads.mask_head.deconv.bias"),
+        }
+    if "roi_heads.mask_head.predictor.weight" in sd:
+        mh["predictor"] = {
+            "kernel": _t_conv(take("roi_heads.mask_head.predictor.weight")),
+            "bias": take("roi_heads.mask_head.predictor.bias"),
+        }
+    if mh:
+        rh["mask_head"] = mh
+    out["roi_heads"] = rh
+
+    ignorable = (
+        "freq_weight", "pixel_mean", "pixel_std", "cls_weight",
+        "relative_position_index", "attn_mask",
+    )
+    unmapped = [
+        k for k in sd
+        if k not in used and not k.endswith(ignorable)
+    ]
+    out["_stats"] = {"mapped": len(used), "unmapped": unmapped}
+    return out
+
+
+def load_d2_detector_into(params, path_or_sd, cfg=None, **kw) -> Dict:
+    """Merge a reference detector checkpoint into a CustomRCNN param tree
+    (DetectionCheckpointer semantics: shape mismatches skipped + logged)."""
+    import jax
+
+    sd = (
+        load_state_dict(path_or_sd)
+        if isinstance(path_or_sd, str)
+        else path_or_sd
+    )
+    if cfg is not None:
+        kw.setdefault("use_zeroshot", cfg.MODEL.ROI_BOX_HEAD.USE_ZEROSHOT_CLS)
+        kw.setdefault("cascade_stages", len(cfg.MODEL.ROI_BOX_CASCADE_HEAD.IOUS))
+    converted = convert_d2_detector(sd, **kw)
+    stats = converted.pop("_stats")
+    if stats["unmapped"]:
+        logger.warning(
+            "detector checkpoint: %d keys unmapped: %s",
+            len(stats["unmapped"]), stats["unmapped"][:8],
+        )
+    host = jax.tree.map(np.asarray, jax.device_get(params))
+    target = host["params"] if "params" in host else host
+    merged, skipped = _merge_trees(target, converted)
+    if "params" in host:
+        host["params"] = merged
+    else:
+        host = merged
+    if skipped:
+        logger.warning("skipped %d mismatched keys: %s", len(skipped), skipped[:8])
+    return host
