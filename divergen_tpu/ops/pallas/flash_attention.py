@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2_E = math.log2(math.e)
 
 
 def _attn_kernel_main(
@@ -47,16 +48,21 @@ def _attn_kernel_main(
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
+    # base-2 softmax: the VPU exponential is exp2-native, so exp(x) costs an
+    # extra x·log2(e) multiply over the whole score tile. Folding log2(e)
+    # into the matmul scale makes every exp here a bare exp2 — the softmax
+    # is identical because p = 2^(s·log2e − m₂) = e^(s − m) with the running
+    # max tracked in base-2 units.
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    ) * (scale * LOG2_E)
     if kv_len % block_k:
         col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
     m_prev = m_scr[:, 0]
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
-    p = jnp.exp(s - m_cur[:, None])
-    alpha = jnp.exp(m_prev - m_cur)
+    p = jnp.exp2(s - m_cur[:, None])
+    alpha = jnp.exp2(m_prev - m_cur)
     l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
     acc_scr[:] = acc_scr[:] * alpha[:, None] + jnp.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -215,8 +221,10 @@ def flash_attention(
 
 
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, num_kv):
-    """Same online-softmax body as ``_attn_kernel_main`` but on (1, bq, 1, 1, d)
-    blocks sliced straight out of the fused-QKV tensor."""
+    """Same online-softmax body as ``_attn_kernel_main`` but on (1, block, d)
+    blocks sliced straight out of the (B, N, 3C) fused-QKV tensor — the
+    channel axis is [q·H·D | k·H·D | v·H·D], so head h of slot s is the
+    d-sized block at channel-block index s·H + h."""
     j = pl.program_id(3)
 
     @pl.when(j == 0)
@@ -225,16 +233,18 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, 
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, :, 0, 0, :]
-    k = k_ref[0, :, 0, 0, :]
-    v = v_ref[0, :, 0, 0, :]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    # base-2 softmax with log2(e) folded into the scale (see
+    # _attn_kernel_main) — exact, one fewer score-tile VPU multiply
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    ) * (scale * LOG2_E)
     m_prev = m_scr[:, 0]
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
-    p = jnp.exp(s - m_cur[:, None])
-    alpha = jnp.exp(m_prev - m_cur)
+    p = jnp.exp2(s - m_cur[:, None])
+    alpha = jnp.exp2(m_prev - m_cur)
     l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
     acc_scr[:] = acc_scr[:] * alpha[:, None] + jnp.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -243,7 +253,7 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, 
 
     @pl.when(j == num_kv - 1)
     def _():
-        o_ref[0, :, 0, :] = (
+        o_ref[0] = (
             acc_scr[:] / jnp.maximum(l_scr[:, 0], 1e-30)[:, None]
         ).astype(o_ref.dtype)
 
@@ -251,47 +261,55 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, 
 def flash_attention_packed(
     qkv: Array, heads: int, use_pallas: bool | None = None, interpret: bool = False
 ) -> Array:
-    """Self-attention on a fused-QKV tensor without any head transpose.
+    """Self-attention on a fused-QKV projection without any head transpose.
 
-    ``qkv``: (B, N, 3, H, D) — a free reshape of the (B, N, 3·C) fused
-    projection. q/k/v are never materialized in (BH, N, D) layout; the
-    kernel's BlockSpec index maps slice (1, block, 1, 1, D) blocks for the
-    q/k/v slots directly, and the output lands in (B, N, H, D) — so the
-    whole attention is transpose-free on both sides (the round-1 layout
-    pool around `_attention` was measured at ~15 ms/step,
+    ``qkv``: (B, N, 3C) — the raw output of one fused (C, 3C) GEMM, laid
+    out [q | k | v] along the channel axis with H·D channels each. q/k/v
+    are never materialized in (BH, N, D) layout; the kernel's BlockSpec
+    index maps slice (1, block, D) blocks straight out of the channel axis
+    (head h of slot s = channel-block s·H + h), and the output lands in
+    (B, N, C) — the whole attention is transpose-free on both sides (the
+    round-1 layout pool around `_attention` was measured at ~15 ms/step,
     tools/profile_unet.py). Requires N to be a multiple of the tile size
     (always true for the SDXL 4096/1024-token levels).
     """
-    b, n, three, h, d = qkv.shape
-    assert three == 3 and h == heads
+    b, n, c3 = qkv.shape
+    h = heads
+    assert c3 % (3 * h) == 0
+    d = c3 // (3 * h)
     scale = 1.0 / math.sqrt(d)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not (use_pallas or interpret):
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
-        s = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32) * scale
+        qh, kh, vh = (
+            qkv[..., s * h * d : (s + 1) * h * d].reshape(b, n, h, d)
+            for s in range(3)
+        )
+        s = jnp.einsum("bnhd,bmhd->bhnm", qh, kh, preferred_element_type=jnp.float32) * scale
         p = jax.nn.softmax(s, axis=-1)
         return jnp.einsum(
-            "bhnm,bmhd->bnhd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            "bhnm,bmhd->bnhd", p.astype(vh.dtype), vh, preferred_element_type=jnp.float32
         ).astype(qkv.dtype).reshape(b, n, h * d)
 
     block_q, block_k = _pick_blocks(n, n, d)
     block_q, block_k = min(block_q, n), min(block_k, n)
     if n % block_q or n % block_k:
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        perm = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, n, d)
-        out = flash_attention(perm(q), perm(k), perm(v))
+        perm = lambda s: (
+            qkv[..., s * h * d : (s + 1) * h * d]
+            .reshape(b, n, h, d).transpose(0, 2, 1, 3).reshape(b * h, n, d)
+        )
+        out = flash_attention(perm(0), perm(1), perm(2))
         return out.reshape(b, h, n, d).transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
     num_kv = n // block_k
     grid = (b, h, n // block_q, num_kv)
-    q_spec = pl.BlockSpec((1, block_q, 1, 1, d), lambda bb, hh, i, j: (bb, i, 0, hh, 0),
+    q_spec = pl.BlockSpec((1, block_q, d), lambda bb, hh, i, j: (bb, i, hh),
                           memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((1, block_k, 1, 1, d), lambda bb, hh, i, j: (bb, j, 1, hh, 0),
+    k_spec = pl.BlockSpec((1, block_k, d), lambda bb, hh, i, j: (bb, j, h + hh),
                           memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, block_k, 1, 1, d), lambda bb, hh, i, j: (bb, j, 2, hh, 0),
+    v_spec = pl.BlockSpec((1, block_k, d), lambda bb, hh, i, j: (bb, j, 2 * h + hh),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, block_q, 1, d), lambda bb, hh, i, j: (bb, i, hh, 0),
+    out_spec = pl.BlockSpec((1, block_q, d), lambda bb, hh, i, j: (bb, i, hh),
                             memory_space=pltpu.VMEM)
     scratch = [
         pltpu.VMEM((block_q, 1), jnp.float32),
@@ -300,7 +318,7 @@ def flash_attention_packed(
     ]
     out = pl.pallas_call(
         functools.partial(_packed_kernel, scale=scale, num_kv=num_kv),
-        out_shape=jax.ShapeDtypeStruct((b, n, h, d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n, h * d), qkv.dtype),
         grid=grid,
         in_specs=[q_spec, k_spec, v_spec],
         out_specs=out_spec,
@@ -310,7 +328,7 @@ def flash_attention_packed(
         ),
         interpret=interpret,
     )(qkv, qkv, qkv)
-    return out.reshape(b, n, h * d)
+    return out
 
 
 def reference_attention(q: Array, k: Array, v: Array, bias: Array | None = None) -> Array:

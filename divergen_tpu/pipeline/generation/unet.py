@@ -216,7 +216,6 @@ class TransformerBlock(nn.Module):
             ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
             return lambda t: ln(t.reshape(-1, t.shape[-1])).reshape(t.shape)
 
-        b, n, _ = x.shape
         y = norm("norm1")(x)
         # one fused (C, 3C) projection instead of three (C, C) GEMMs, feeding
         # the packed transpose-free flash kernel: the (B, N, 3, H, d) view is
@@ -224,7 +223,6 @@ class TransformerBlock(nn.Module):
         from ...ops.pallas.flash_attention import flash_attention_packed
 
         qkv = dense(3 * c, "attn1_qkv", use_bias=False)(y)
-        qkv = qkv.reshape(b, n, 3, self.heads, c // self.heads)
         x = x + dense(c, "attn1_out")(flash_attention_packed(qkv, self.heads))
         y = norm("norm2")(x)
         q = dense(c, "attn2_q", use_bias=False)(y)

@@ -489,6 +489,47 @@ def load_sdxl_unet_params(path: str, unet) -> Dict:
     return convert_sdxl_unet(sd, unet)
 
 
+def _fold_frozen_bn(sd, src, eps=1e-5):
+    """detectron2 FrozenBatchNorm2d → our affine-only FrozenBatchNorm:
+    scale = γ/√(var+ε), bias = β − mean·scale. Caffe2-origin .pkl
+    checkpoints are already folded (no running stats) — pass through."""
+    g, b = sd[f"{src}.weight"], sd[f"{src}.bias"]
+    if f"{src}.running_var" in sd:
+        scale = g / np.sqrt(sd[f"{src}.running_var"] + eps)
+        return {"scale": scale, "bias": b - sd[f"{src}.running_mean"] * scale}
+    return {"scale": g, "bias": b}
+
+
+def _convert_d2_resnet(sd: Dict[str, np.ndarray], used_add=None) -> Dict:
+    """detectron2 ResNet (BasicStem + bottleneck stages, FrozenBN) → our
+    ResNet params (modeling/backbone/resnet.py: stem + res<s>_block<i> with
+    conv1/conv2/conv3/shortcut ConvNorm children)."""
+    used_add = used_add or (lambda k: None)
+
+    def conv_bn(src):
+        for k in (f"{src}.weight", f"{src}.norm.weight", f"{src}.norm.bias",
+                  f"{src}.norm.running_mean", f"{src}.norm.running_var"):
+            if k in sd:
+                used_add(k)
+        return {
+            "conv": {"kernel": _t_conv(sd[f"{src}.weight"])},
+            "FrozenBatchNorm_0": _fold_frozen_bn(sd, f"{src}.norm"),
+        }
+
+    p: Dict[str, Any] = {"stem": conv_bn("stem.conv1")}
+    for s in (2, 3, 4, 5):
+        i = 0
+        while f"res{s}.{i}.conv1.weight" in sd:
+            blk = {
+                c: conv_bn(f"res{s}.{i}.{c}") for c in ("conv1", "conv2", "conv3")
+            }
+            if f"res{s}.{i}.shortcut.weight" in sd:
+                blk["shortcut"] = conv_bn(f"res{s}.{i}.shortcut")
+            p[f"res{s}_block{i}"] = blk
+            i += 1
+    return p
+
+
 # ---------------- detectron2 GeneralizedRCNN detector checkpoint ----------------
 def convert_d2_detector(
     sd: Dict[str, np.ndarray],
@@ -533,6 +574,10 @@ def convert_d2_detector(
             k for k in swin_keys
             if not k.endswith(("relative_position_index", "attn_mask"))
         }
+    elif any(".stem." in k for k in swin_keys):
+        sub = {k[len("backbone.bottom_up."):]: sd[k] for k in swin_keys}
+        out["bottom_up"] = _convert_d2_resnet(sub, used_add=lambda k: used.add(
+            "backbone.bottom_up." + k))
 
     # --- FPN ---
     fpn: Dict[str, Any] = {}

@@ -209,25 +209,32 @@ class TestAttention:
         np.testing.assert_allclose(out, want, atol=1e-5)
 
     def _packed_reference(self, qkv, heads):
-        """Unpack → per-head reference attention → repack, in f64 numpy."""
-        b, n, _, h, d = qkv.shape
-        q, k, v = (np.asarray(qkv[:, :, i], np.float64) for i in range(3))
+        """Unpack the (B, N, 3C) channel axis → per-head reference
+        attention → repack, in f64 numpy."""
+        b, n, c3 = qkv.shape
+        d = c3 // (3 * heads)
+        q, k, v = (
+            np.asarray(
+                qkv[..., s * heads * d : (s + 1) * heads * d], np.float64
+            ).reshape(b, n, heads, d)
+            for s in range(3)
+        )
         s = np.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(d)
         p = np.exp(s - s.max(-1, keepdims=True))
         p /= p.sum(-1, keepdims=True)
-        return np.einsum("bhnm,bmhd->bnhd", p, v).reshape(b, n, h * d)
+        return np.einsum("bhnm,bmhd->bnhd", p, v).reshape(b, n, heads * d)
 
     def test_packed_xla_fallback(self, rng):
-        qkv = jnp.array(rng.randn(2, 64, 3, 4, 16).astype(np.float32))
+        qkv = jnp.array(rng.randn(2, 64, 3 * 4 * 16).astype(np.float32))
         out = flash_attention_packed(qkv, heads=4, use_pallas=False)
         np.testing.assert_allclose(
             out, self._packed_reference(np.asarray(qkv), 4), atol=1e-5
         )
 
     def test_packed_pallas_interpret(self, rng):
-        """The BlockSpec q/k/v slot slicing of the fused-QKV tensor, in
-        Pallas interpret mode (hardware parity lives in tests/tpu/)."""
-        qkv = jnp.array(rng.randn(1, 256, 3, 2, 64).astype(np.float32))
+        """The BlockSpec q/k/v channel-block slicing of the fused-QKV
+        tensor, in Pallas interpret mode (hardware parity in tests/tpu/)."""
+        qkv = jnp.array(rng.randn(1, 256, 3 * 2 * 64).astype(np.float32))
         out = flash_attention_packed(qkv, heads=2, interpret=True)
         np.testing.assert_allclose(
             out, self._packed_reference(np.asarray(qkv), 2), atol=2e-3, rtol=2e-3

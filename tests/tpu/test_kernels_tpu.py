@@ -36,7 +36,7 @@ def test_flash_attention_packed_parity(b, n, h, d):
     from divergen_tpu.ops.pallas.flash_attention import flash_attention_packed
 
     rng = np.random.RandomState(1)
-    qkv = jnp.asarray(rng.randn(b, n, 3, h, d), jnp.float32)
+    qkv = jnp.asarray(rng.randn(b, n, 3 * h * d), jnp.float32)
     got = np.asarray(flash_attention_packed(qkv, heads=h, use_pallas=True))
     want = np.asarray(flash_attention_packed(qkv, heads=h, use_pallas=False))
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)

@@ -1,0 +1,114 @@
+"""One-shot round-2 hardware measurement sweep (run when the TPU tunnel is up).
+
+Measures, in one process with one compile cache:
+  1. SDXL UNet CFG denoise step (B=1 and B=4)  — packed attention + exp2
+  2. Swin-L 896 b2 train step, FUSED_ATTN off/on — window fwd blocking
+  3. chain estimate from (1)
+
+Usage: timeout 3600 python tools/r2_perf_sweep.py [--skip_swin] [--skip_unet]
+Prints one JSON line per measurement; safe to rerun (differencing method).
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+
+def _diff_time(run_k, k_small, k_big, probe):
+    def timed(k):
+        t0 = time.perf_counter()
+        out = run_k(k)
+        _ = float(probe(out))
+        return time.perf_counter() - t0
+
+    _ = timed(k_small)  # warmup/compile
+    t_small = min(timed(k_small) for _ in range(2))
+    t_big = min(timed(k_big) for _ in range(2))
+    return max(t_big - t_small, 1e-9) / (k_big - k_small)
+
+
+def bench_unet(B):
+    from divergen_tpu.pipeline.generation.scheduler import euler_sigmas, make_scheduler
+    from divergen_tpu.pipeline.generation.unet import UNetSDXL
+
+    unet = UNetSDXL(dtype=jnp.bfloat16)
+    lat = jnp.zeros((B, 128, 128, 4), jnp.float32)
+    ctx = jnp.zeros((2 * B, 77, 2048), jnp.bfloat16)
+    pooled = jnp.zeros((2 * B, 1280), jnp.bfloat16)
+    tids = jnp.zeros((2 * B, 6), jnp.float32)
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), lat[:1], jnp.zeros((1,)),
+                                ctx[:1], pooled[:1], tids[:1])
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    sched = make_scheduler("scaled_linear")
+    ts, sigmas = euler_sigmas(sched, 50)
+    ts_j, sig_j = jnp.asarray(ts, jnp.float32), jnp.asarray(sigmas, jnp.float32)
+    probes = {}
+
+    def make(k):
+        @jax.jit
+        def run(params, latents):
+            def body(l, i):
+                x = l / jnp.sqrt(sig_j[i] ** 2 + 1.0)
+                x2 = jnp.concatenate([x, x], axis=0)
+                t2 = jnp.broadcast_to(ts_j[i], (2 * B,))
+                eps2 = unet.apply(params, x2, t2, ctx, pooled, tids)
+                eu, ec = jnp.split(eps2, 2, axis=0)
+                eps = eu + 7.5 * (ec - eu)
+                pred_x0 = l - sig_j[i] * eps.astype(l.dtype)
+                d = (l - pred_x0) / jnp.maximum(sig_j[i], 1e-9)
+                return l + (sig_j[i + 1] - sig_j[i]) * d, None
+
+            out, _ = jax.lax.scan(body, latents, jnp.arange(k))
+            return out
+
+        return run
+
+    def run_k(k):
+        if k not in probes:
+            probes[k] = make(k)
+        return probes[k](params, lat)
+
+    per_step = _diff_time(run_k, 2, 10, lambda o: np.asarray(o[0, ::64, ::64, 0]).sum())
+    print(json.dumps({"metric": f"unet_step_ms_B{B}",
+                      "value": round(per_step * 1e3, 2),
+                      "per_img_50step_s": round(per_step * 50 / B, 3)}), flush=True)
+    return per_step
+
+
+def bench_swin(fused):
+    import subprocess
+    # separate process: MODEL.SWIN.FUSED_ATTN is baked into the jit
+    out = subprocess.run(
+        [sys.executable, "tools/bench_train_step.py", "--batch", "2", "--img", "896",
+         *(["--fused_attn"] if fused else [])],
+        capture_output=True, text=True, timeout=3000,
+    )
+    tail = (out.stdout + out.stderr).strip().splitlines()
+    print(json.dumps({"metric": f"swin_train_step_fused={fused}",
+                      "raw": tail[-1] if tail else "no output",
+                      "rc": out.returncode}), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip_swin", action="store_true")
+    ap.add_argument("--skip_unet", action="store_true")
+    args = ap.parse_args()
+    print(json.dumps({"devices": str(jax.devices())}), flush=True)
+    if not args.skip_unet:
+        for B in (1, 4):
+            bench_unet(B)
+    if not args.skip_swin:
+        for fused in (False, True):
+            bench_swin(fused)
+
+
+if __name__ == "__main__":
+    main()
