@@ -122,3 +122,39 @@ def test_fed_mask_budget_semantics():
         )
     )
     assert int(mask2.sum()) == 12 and mask2[:12].all()
+
+
+def test_box2box_transform_parity():
+    """Delta encode/decode vs detectron2 Box2BoxTransform (the math that
+    positions every cascade-stage box; box_regression.py counterpart)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from detectron2.modeling.box_regression import Box2BoxTransform
+    from divergen_tpu.modeling.roi_heads import box_regression
+
+    rng = np.random.RandomState(9)
+    n = 64
+    xy = rng.rand(n, 2) * 200
+    wh = rng.rand(n, 2) * 80 + 4
+    src = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+    xy2 = xy + rng.randn(n, 2) * 10
+    wh2 = wh * np.exp(rng.randn(n, 2) * 0.3)
+    dst = np.concatenate([xy2, xy2 + wh2], 1).astype(np.float32)
+    weights = (10.0, 10.0, 5.0, 5.0)
+
+    ref = Box2BoxTransform(weights=weights)
+    want_deltas = ref.get_deltas(torch.tensor(src), torch.tensor(dst)).numpy()
+    got_deltas = np.asarray(
+        box_regression.get_deltas(jnp.asarray(src), jnp.asarray(dst), weights)
+    )
+    np.testing.assert_allclose(got_deltas, want_deltas, rtol=1e-5, atol=1e-5)
+
+    # decode round-trip + decode of arbitrary (clamped) deltas
+    big = (rng.randn(n, 4) * 2).astype(np.float32)
+    want_boxes = ref.apply_deltas(torch.tensor(big), torch.tensor(src)).numpy()
+    got_boxes = np.asarray(
+        box_regression.apply_deltas(jnp.asarray(big), jnp.asarray(src), weights)
+    )
+    np.testing.assert_allclose(got_boxes, want_boxes, rtol=1e-4, atol=1e-4)
