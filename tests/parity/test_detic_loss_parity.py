@@ -158,3 +158,37 @@ def test_box2box_transform_parity():
         box_regression.apply_deltas(jnp.asarray(big), jnp.asarray(src), weights)
     )
     np.testing.assert_allclose(got_boxes, want_boxes, rtol=1e-4, atol=1e-4)
+
+
+def test_matcher_parity():
+    """Single-threshold proposal↔gt matching vs detectron2 Matcher (the
+    label assignment behind every cascade stage; match_proposals,
+    cascade_heads.py:308)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from detectron2.modeling.matcher import Matcher
+    from detectron2.structures import Boxes, pairwise_iou
+    from divergen_tpu.modeling.roi_heads.cascade_heads import match_proposals
+
+    rng = np.random.RandomState(10)
+    n_gt, n_prop = 7, 64
+    def boxes(n):
+        xy = rng.rand(n, 2) * 200
+        wh = rng.rand(n, 2) * 90 + 4
+        return np.concatenate([xy, xy + wh], 1).astype(np.float32)
+
+    gt, prop = boxes(n_gt), boxes(n_prop)
+    for thr in (0.5, 0.6, 0.7):
+        ref = Matcher([thr], [0, 1], allow_low_quality_matches=False)
+        iou = pairwise_iou(Boxes(torch.tensor(gt)), Boxes(torch.tensor(prop)))
+        want_idx, want_lbl = ref(iou)
+        got_idx, got_fg = match_proposals(
+            jnp.asarray(prop), jnp.asarray(gt), jnp.ones((n_gt,), bool), thr
+        )[:2]
+        np.testing.assert_array_equal(np.asarray(got_fg), want_lbl.numpy() == 1)
+        # matched index only meaningful on foreground rows (ties broken
+        # identically because both argmax over the same IoU matrix)
+        fg = want_lbl.numpy() == 1
+        np.testing.assert_array_equal(np.asarray(got_idx)[fg], want_idx.numpy()[fg])
