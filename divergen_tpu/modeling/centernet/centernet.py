@@ -70,6 +70,7 @@ class CenterNetConfig:
     prior_prob: float = 0.01
     only_proposal: bool = True
     with_agn_hm: bool = True
+    num_classes: int = 80  # classwise head when not only_proposal
 
     @property
     def delta(self) -> float:
@@ -108,6 +109,7 @@ class CenterNetConfig:
             prior_prob=cn.PRIOR_PROB,
             only_proposal=cn.ONLY_PROPOSAL,
             with_agn_hm=cn.WITH_AGN_HM,
+            num_classes=cn.NUM_CLASSES,
         )
 
 
@@ -133,11 +135,27 @@ class CenterNetHead(nn.Module):
             ConvNorm(features[0].shape[-1], 3, 1, c.norm, nn.relu, kernel_std=0.01, dtype=self.dtype, name=f"bbox_{i}")
             for i in range(c.num_box_convs)
         ]
-        agn_hm = ConvNorm(1, 3, 1, "", None, use_bias=True, bias_init=bias_value, kernel_std=0.01, dtype=self.dtype, name="agn_hm")
+        # classwise head (standalone CenterNet, only_proposal=False): its own
+        # conv tower + a num_classes heatmap output (centernet_head.py:42-46,
+        # 110-121 cls_logits)
+        cls_tower = [
+            ConvNorm(features[0].shape[-1], 3, 1, c.norm, nn.relu, kernel_std=0.01, dtype=self.dtype, name=f"cls_{i}")
+            for i in range(0 if c.only_proposal else c.num_cls_convs)
+        ]
+        cls_logits = None
+        if not c.only_proposal:
+            cls_logits = ConvNorm(
+                c.num_classes, 3, 1, "", None, use_bias=True,
+                bias_init=bias_value, kernel_std=0.01, dtype=self.dtype,
+                name="cls_logits",
+            )
+        agn_hm = None
+        if c.with_agn_hm:
+            agn_hm = ConvNorm(1, 3, 1, "", None, use_bias=True, bias_init=bias_value, kernel_std=0.01, dtype=self.dtype, name="agn_hm")
         bbox_pred = ConvNorm(4, 3, 1, "", None, use_bias=True, bias_init=8.0, kernel_std=0.01, dtype=self.dtype, name="bbox_pred")
         scales = [Scale(name=f"scale_{l}") for l in range(len(features))]
 
-        agn_hms, bbox_regs = [], []
+        agn_hms, bbox_regs, clss = [], [], []
         for l, feat in enumerate(features):
             x = feat
             for m in share_tower:
@@ -145,10 +163,17 @@ class CenterNetHead(nn.Module):
             bx = x
             for m in bbox_tower:
                 bx = m(bx)
-            agn_hms.append(agn_hm(bx)[..., 0])  # (B, H, W)
+            if cls_logits is not None:
+                cx = x
+                for m in cls_tower:
+                    cx = m(cx)
+                clss.append(cls_logits(cx))  # (B, H, W, C)
+            else:
+                clss.append(None)
+            agn_hms.append(agn_hm(bx)[..., 0] if agn_hm is not None else None)
             reg = scales[l](bbox_pred(bx))
             bbox_regs.append(nn.relu(reg))  # (B, H, W, 4)
-        return agn_hms, bbox_regs
+        return agn_hms, bbox_regs, clss
 
 
 # ---------------------------------------------------------------------------
@@ -262,6 +287,68 @@ def centernet_ground_truth(
     return jax.vmap(per_image)(gt_boxes, gt_valid)
 
 
+def centernet_ground_truth_classwise(
+    cfg: CenterNetConfig,
+    geom: Dict,
+    gt_boxes: Array,  # (B, N, 4)
+    gt_classes: Array,  # (B, N) int32
+    gt_valid: Array,  # (B, N) bool
+):
+    """Classwise targets for the standalone detector (reference
+    _get_ground_truth heatmap channels :546-562 + _get_label_inds :439-484
+    with labels): per-class heatmaps (B, M, C) and per-(loc, class) positive
+    counts (B, M, C), plus the shared reg targets."""
+    c = cfg.num_classes
+    reg_targets, hm_agn, _ = centernet_ground_truth(cfg, geom, gt_boxes, gt_valid)
+    grids = geom["grids"]
+    strides = geom["strides"]
+    m = grids.shape[0]
+
+    def per_image(boxes, classes, valid):
+        gx, gy = grids[:, 0:1], grids[:, 1:2]
+        l_ = gx - boxes[None, :, 0]
+        t_ = gy - boxes[None, :, 1]
+        r_ = boxes[None, :, 2] - gx
+        b_ = boxes[None, :, 3] - gy
+        centers = (boxes[:, :2] + boxes[:, 2:]) / 2.0
+        st = strides[:, None]
+        cdx = (centers[None, :, 0] / st).astype(jnp.int32).astype(jnp.float32) * st + st / 2
+        cdy = (centers[None, :, 1] / st).astype(jnp.int32).astype(jnp.float32) * st + st / 2
+        is_peak = (gx == cdx) & (gy == cdy)
+        dist2 = (gx - centers[None, :, 0]) ** 2 + (gy - centers[None, :, 1]) ** 2
+        dist2 = jnp.where(is_peak, 0.0, dist2)
+        area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * jnp.maximum(boxes[:, 3] - boxes[:, 1], 0)
+        radius2 = jnp.maximum(cfg.delta**2 * 2.0 * area, cfg.min_radius**2)
+        wd2 = dist2 / radius2[None, :]  # (M, N)
+        hm_per_gt = jnp.exp(-jnp.where(valid[None, :], wd2, INF))  # (M, N)
+        # per-class max over gts of that class (invalid gts → segment C,
+        # dropped by num_segments)
+        seg = jnp.where(valid, classes, c)
+        hm_cls = jax.ops.segment_max(hm_per_gt.T, seg, num_segments=c).T  # (M, C)
+        hm_cls = jnp.where(hm_cls < 1e-4, 0.0, jnp.maximum(hm_cls, 0.0))
+
+        # per-(loc, class) positives (reference pos_inds + labels)
+        box_crit = jnp.sqrt(jnp.sum((boxes[:, 2:] - boxes[:, :2]) ** 2, axis=1)) / 2.0
+        pos = jnp.zeros((m, c), jnp.int32)
+        level_bases = []
+        base = 0
+        for h, w in geom["shapes"]:
+            level_bases.append(base)
+            base += h * w
+        for lvl, (h, w) in enumerate(geom["shapes"]):
+            s = float(cfg.strides[lvl])
+            lo, hi = cfg.sizes_of_interest[lvl]
+            cared = (box_crit >= lo) & (box_crit <= hi) & valid
+            cx = jnp.clip((centers[:, 0] / s).astype(jnp.int32), 0, w - 1)
+            cy = jnp.clip((centers[:, 1] / s).astype(jnp.int32), 0, h - 1)
+            idx = level_bases[lvl] + cy * w + cx
+            pos = pos.at[idx, jnp.clip(classes, 0, c - 1)].add(cared.astype(jnp.int32))
+        return hm_cls, pos
+
+    hm_cls, pos_cls = jax.vmap(per_image)(gt_boxes, gt_classes, gt_valid)
+    return reg_targets, hm_agn, hm_cls, pos_cls
+
+
 # ---------------------------------------------------------------------------
 # Losses — reference losses() :237-316 (only_proposal path)
 # ---------------------------------------------------------------------------
@@ -316,6 +403,49 @@ def centernet_losses(
     )
     losses["loss_centernet_agn_pos"] = cfg.pos_weight * pos_loss / num_pos_avg
     losses["loss_centernet_agn_neg"] = cfg.neg_weight * neg_loss / num_pos_avg
+    return losses
+
+
+def centernet_losses_classwise(
+    cfg: CenterNetConfig,
+    cls_logits: Array,  # (B, M, C)
+    agn_hm_pred: Optional[Array],  # (B, M) logits or None
+    reg_pred: Array,  # (B, M, 4) stride units
+    reg_targets: Array,  # (B, M, 4)
+    hm_agn: Array,  # (B, M) (= max over classwise hms)
+    hm_cls: Array,  # (B, M, C)
+    pos_cls: Array,  # (B, M, C) int32
+    axis_name: Optional[str] = None,
+) -> Dict[str, Array]:
+    """Standalone-detector losses (reference losses() :237-316 with
+    only_proposal=False): classwise focal (loss_centernet_pos/neg) + the
+    shared loc loss + the optional agnostic focal."""
+    pos_count_agn = jnp.sum(pos_cls, axis=-1)  # same positive locations
+    losses = centernet_losses(
+        cfg, agn_hm_pred if agn_hm_pred is not None else jnp.zeros_like(hm_agn),
+        reg_pred, reg_targets, hm_agn, pos_count_agn, axis_name=axis_name,
+    )
+    if agn_hm_pred is None:
+        losses.pop("loss_centernet_agn_pos")
+        losses.pop("loss_centernet_agn_neg")
+    num_pos_local = jnp.sum(pos_cls).astype(jnp.float32)
+    num_pos_avg = (
+        jnp.maximum(jax.lax.pmean(num_pos_local, axis_name), 1.0)
+        if axis_name is not None
+        else jnp.maximum(num_pos_local, 1.0)
+    )
+    pos_loss, neg_loss = heatmap_focal_loss(
+        cls_logits.astype(jnp.float32),
+        hm_cls,
+        pos_cls,
+        alpha=cfg.hm_focal_alpha,
+        beta=cfg.hm_focal_beta,
+        gamma=cfg.loss_gamma,
+        sigmoid_clamp=cfg.sigmoid_clamp,
+        ignore_high_fp=cfg.ignore_high_fp,
+    )
+    losses["loss_centernet_pos"] = cfg.pos_weight * pos_loss / num_pos_avg
+    losses["loss_centernet_neg"] = cfg.neg_weight * neg_loss / num_pos_avg
     return losses
 
 
@@ -390,3 +520,77 @@ def centernet_proposals(
 
     boxes, scores, valid = jax.vmap(per_image)(scores_all, boxes_all)
     return {"boxes": boxes, "scores": scores, "valid": valid}
+
+
+def centernet_detections(
+    cfg: CenterNetConfig,
+    geom: Dict,
+    cls_logits: Array,  # (B, M, C)
+    agn_hm_pred: Optional[Array],  # (B, M) logits or None
+    reg_pred: Array,  # (B, M, 4) stride units
+    image_sizes: Array,
+    training: bool,
+):
+    """Classwise decode for the standalone detector (predict_instances with
+    logits + agn multiply, predict_single_level :596-708 + ml_nms): static
+    per-level (M_l·C) top-k, class = idx mod C, class-aware NMS.
+
+    Returns boxes (B, K, 4), scores (B, K), classes (B, K), valid (B, K).
+    """
+    from ...ops.nms import batched_nms_mask, top_scoring
+
+    grids = geom["grids"]
+    strides = geom["strides"]
+    c = cfg.num_classes
+    hm = jax.nn.sigmoid(cls_logits.astype(jnp.float32))  # (B, M, C)
+    cand = hm > cfg.score_thresh  # threshold on the raw classwise heatmap
+    if agn_hm_pred is not None:
+        hm = hm * jax.nn.sigmoid(agn_hm_pred.astype(jnp.float32))[..., None]
+    scores_all = jnp.sqrt(hm) if cfg.with_agn_hm else hm
+    reg = reg_pred.astype(jnp.float32) * strides[None, :, None]
+    x1 = grids[None, :, 0] - reg[..., 0]
+    y1 = grids[None, :, 1] - reg[..., 1]
+    x2 = jnp.maximum(grids[None, :, 0] + reg[..., 2], x1 + 0.01)
+    y2 = jnp.maximum(grids[None, :, 1] + reg[..., 3], y1 + 0.01)
+    boxes_all = jnp.stack([x1, y1, x2, y2], axis=-1)  # (B, M, 4)
+
+    pre_topk = cfg.pre_nms_topk_train if training else cfg.pre_nms_topk_test
+    post_topk = cfg.post_nms_topk_train if training else cfg.post_nms_topk_test
+    nms_th = cfg.nms_thresh_train if training else cfg.nms_thresh_test
+
+    level_slices = []
+    base = 0
+    for h, w in geom["shapes"]:
+        level_slices.append((base, h * w))
+        base += h * w
+
+    def per_image(scores, ok, boxes):
+        cs, cb, cc, cv = [], [], [], []
+        for start, size in level_slices:
+            s_l = jax.lax.dynamic_slice_in_dim(scores, start, size)  # (m, C)
+            o_l = jax.lax.dynamic_slice_in_dim(ok, start, size)
+            b_l = jax.lax.dynamic_slice_in_dim(boxes, start, size)  # (m, 4)
+            flat = jnp.where(o_l, s_l, -jnp.inf).reshape(-1)  # (m*C,)
+            k = min(pre_topk, flat.shape[0])
+            topv, topi = jax.lax.top_k(flat, k)
+            loc = topi // c
+            cls = topi % c
+            cs.append(topv)
+            cb.append(b_l[loc])
+            cc.append(cls)
+            cv.append(topv > -jnp.inf)
+        s = jnp.concatenate(cs)
+        b = jnp.concatenate(cb)
+        cl = jnp.concatenate(cc)
+        v = jnp.concatenate(cv)
+        total = min(cfg.pre_nms_total, s.shape[0])
+        topv, topi = jax.lax.top_k(jnp.where(v, s, -jnp.inf), total)
+        b, cl = b[topi], cl[topi]
+        v = topv > -jnp.inf
+        s = jnp.where(v, topv, 0.0)
+        keep = batched_nms_mask(b, s, cl, nms_th, valid=v)
+        ob, os_, ov, _, (ocls,) = top_scoring(b, s, keep, post_topk, extras=(cl,))
+        return ob, os_, ocls, ov
+
+    boxes, scores, classes, valid = jax.vmap(per_image)(scores_all, cand, boxes_all)
+    return {"boxes": boxes, "scores": scores, "classes": classes, "valid": valid}

@@ -10,6 +10,7 @@ precision replaces the reference's fp16 autocast on the backbone
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -162,7 +163,7 @@ class CustomRCNN(nn.Module):
                 rng, features, proposals, gt, fed_weight=fed_weight, axis_name=axis_name
             )
         cn_feats = [features[f] for f in self.centernet_cfg.in_features]
-        agn_hms, bbox_regs = self.centernet_head(cn_feats)
+        agn_hms, bbox_regs, _ = self.centernet_head(cn_feats)
         feature_shapes = tuple((f.shape[1], f.shape[2]) for f in cn_feats)
         geom = level_geometry(self.centernet_cfg, feature_shapes)
         # flatten levels → (B, M)
@@ -289,6 +290,65 @@ def _apply_dataset_loss_weight(losses, weights, dataset_source):
     return {k: v * w for k, v in losses.items()}
 
 
+class CenterNetDetector(CustomRCNN):
+    """Standalone CenterNet (no ROI heads): backbone → FPN → classwise
+    CenterNet head; losses in training, class-aware NMS'd detections at
+    inference. Counterpart of ``centernet/modeling/meta_arch/
+    centernet_detector.py:12-78`` with ``only_proposal=False``."""
+
+    def setup(self):  # noqa: D102 — same backbone assembly, no ROI heads
+        # build the shared backbone/FPN/head exactly like CustomRCNN…
+        super().setup()
+        # …but the ROI heads built by the parent are simply never called, so
+        # flax never materializes their params (init traces __call__ only)
+
+    def __call__(
+        self,
+        images: Array,
+        image_sizes: Array,
+        gt=None,
+        rng=None,
+        training: bool = False,
+        axis_name=None,
+        **_,
+    ):
+        from ..centernet.centernet import (
+            centernet_detections,
+            centernet_ground_truth_classwise,
+            centernet_losses_classwise,
+        )
+
+        c = self.centernet_cfg
+        features = self._features(images)
+        cn_feats = [features[f] for f in c.in_features]
+        agn_hms, bbox_regs, clss = self.centernet_head(cn_feats)
+        feature_shapes = tuple((f.shape[1], f.shape[2]) for f in cn_feats)
+        geom = level_geometry(c, feature_shapes)
+        cls_flat = jnp.concatenate(
+            [x.reshape(x.shape[0], -1, c.num_classes) for x in clss], axis=1
+        ).astype(jnp.float32)
+        agn_flat = (
+            jnp.concatenate([a.reshape(a.shape[0], -1) for a in agn_hms], axis=1).astype(jnp.float32)
+            if c.with_agn_hm
+            else None
+        )
+        reg_flat = jnp.concatenate(
+            [r.reshape(r.shape[0], -1, 4) for r in bbox_regs], axis=1
+        ).astype(jnp.float32)
+        if training:
+            assert gt is not None
+            reg_targets, hm_agn, hm_cls, pos_cls = centernet_ground_truth_classwise(
+                c, geom, gt["boxes"], gt["classes"], gt["valid"]
+            )
+            return centernet_losses_classwise(
+                c, cls_flat, agn_flat, reg_flat, reg_targets, hm_agn,
+                hm_cls, pos_cls, axis_name=axis_name,
+            )
+        return centernet_detections(
+            c, geom, cls_flat, agn_flat, reg_flat, image_sizes, training=False
+        )
+
+
 def build_model(cfg) -> CustomRCNN:
     """Assemble CustomRCNN from a ConfigNode (mirrors build_model +
     META_ARCH/BACKBONE registries, train_net.py:353)."""
@@ -315,7 +375,14 @@ def build_model(cfg) -> CustomRCNN:
         backbone = f"resnet{cfg.MODEL.RESNETS.DEPTH}"
         fpn_in = ("res3", "res4", "res5")
         swin_size = "T"
-    return CustomRCNN(
+    # META_ARCHITECTURE dispatch (registry with two live entries here):
+    # CustomRCNN (DiverGen/BSGAL/GeneralizedRCNN) | CenterNetDetector
+    # (standalone CenterNet, centernet_detector.py:12)
+    arch = cfg.MODEL.META_ARCHITECTURE
+    cls = CenterNetDetector if arch == "CenterNetDetector" else CustomRCNN
+    if arch == "CenterNetDetector":
+        cn_cfg = dataclasses.replace(cn_cfg, only_proposal=False)
+    return cls(
         centernet_cfg=cn_cfg,
         roi_cfg=roi_cfg,
         backbone_name=backbone,

@@ -638,7 +638,7 @@ def convert_d2_detector(
                     "scale": take(f"{pfx}.{tower}.{j}.weight"),
                     "bias": take(f"{pfx}.{tower}.{j}.bias"),
                 }
-    for head in ("agn_hm", "bbox_pred"):
+    for head in ("agn_hm", "bbox_pred", "cls_logits"):
         if f"{pfx}.{head}.weight" in sd:
             cn[head] = {"conv": {
                 "kernel": _t_conv(take(f"{pfx}.{head}.weight")),

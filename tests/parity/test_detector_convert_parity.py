@@ -25,7 +25,8 @@ def _prefix(sd, pfx):
     return {f"{pfx}{k}": v.detach().numpy() for k, v in sd.items()}
 
 
-def test_centernet_head_forward_parity():
+@pytest.mark.parametrize("only_proposal", [True, False])
+def test_centernet_head_forward_parity(only_proposal):
     import jax
     import jax.numpy as jnp
     import torch
@@ -43,8 +44,8 @@ def test_centernet_head_forward_parity():
     ch, levels = 64, 3
     ref = RefHead(
         in_channels=ch, num_levels=levels, num_classes=4, with_agn_hm=True,
-        only_proposal=True, norm="GN", num_cls_convs=2, num_box_convs=2,
-        num_share_convs=1,
+        only_proposal=only_proposal, norm="GN", num_cls_convs=2,
+        num_box_convs=2, num_share_convs=1,
     ).eval()
     sd = _prefix(ref.state_dict(), "proposal_generator.centernet_head.")
     conv = convert_d2_detector(sd, fpn_in_features=())
@@ -52,7 +53,7 @@ def test_centernet_head_forward_parity():
 
     cfg = CenterNetConfig(
         num_share_convs=1, num_box_convs=2, num_cls_convs=2, norm="GN",
-        only_proposal=True, with_agn_hm=True,
+        only_proposal=only_proposal, with_agn_hm=True, num_classes=4,
     )
     head = CenterNetHead(cfg)
     rng = np.random.RandomState(1)
@@ -65,12 +66,18 @@ def test_centernet_head_forward_parity():
 
     params = flax.core.unfreeze(params)
     params["params"] = conv["centernet_head"]
-    agn, reg = head.apply(params, feats_nhwc)
+    agn, reg, clss = head.apply(params, feats_nhwc)
 
     with torch.no_grad():
-        _, ref_reg, ref_agn = ref(
+        ref_cls, ref_reg, ref_agn = ref(
             [torch.tensor(np.asarray(f).transpose(0, 3, 1, 2)) for f in feats_nhwc]
         )
+    if not only_proposal:
+        for l in range(levels):
+            np.testing.assert_allclose(
+                np.asarray(clss[l]), ref_cls[l].numpy().transpose(0, 2, 3, 1),
+                rtol=2e-4, atol=2e-4, err_msg=f"cls level {l}",
+            )
     for l in range(levels):
         np.testing.assert_allclose(
             np.asarray(agn[l]), ref_agn[l].numpy()[:, 0], rtol=2e-4, atol=2e-4,

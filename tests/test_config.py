@@ -66,9 +66,8 @@ DECLARED_ONLY = {
     # -- torch/DDP machinery with no TPU analog (GSPMD shards params;
     #    device placement is the mesh's job) --
     "FIND_UNUSED_PARAM", "MODEL.DEVICE",
-    # -- single meta-arch build (build_model always constructs CustomRCNN;
-    #    the reference registry dispatch has one live entry here) --
-    "MODEL.META_ARCHITECTURE", "MODEL.KEYPOINT_ON",
+    # -- keypoints are out of the reference's scope --
+    "MODEL.KEYPOINT_ON",
     # -- caption co-training data mix: expressed via DATALOADER.DATASET_RATIO
     #    over a caption dataset instead of the CAP_BATCH_RATIO heuristic --
     "MODEL.WITH_CAPTION", "MODEL.CAP_BATCH_RATIO",

@@ -181,3 +181,49 @@ def test_res5_roi_heads_train_and_infer():
         assert np.isfinite(float(v)), k
     dets = model.apply(params, images, sizes, training=False)
     assert dets["boxes"].shape[2] == 4
+
+
+@pytest.mark.slow
+def test_standalone_centernet_detector():
+    """META_ARCHITECTURE CenterNetDetector: classwise losses in training,
+    class-aware NMS'd detections at inference (reference
+    centernet_detector.py:12-78 with ONLY_PROPOSAL=False)."""
+    import jax
+    import jax.numpy as jnp
+
+    from divergen_tpu.config import get_cfg
+    from divergen_tpu.modeling.meta_arch.rcnn import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "CenterNetDetector"
+    cfg.MODEL.CENTERNET.NUM_CLASSES = 4
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.CENTERNET.POST_NMS_TOPK_TEST = 16
+    model = build_model(cfg)
+    assert model.centernet_cfg.only_proposal is False
+
+    B, H, W, N = 1, 128, 128, 4
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(B, H, W, 3) * 255, jnp.float32)
+    sizes = jnp.asarray([[H, W]], jnp.int32)
+    gt = {
+        "boxes": jnp.asarray([[[8.0, 8.0, 60.0, 70.0], [30, 40, 100, 90],
+                               [0, 0, 0, 0], [0, 0, 0, 0]]], jnp.float32),
+        "classes": jnp.asarray([[1, 3, 0, 0]], jnp.int32),
+        "valid": jnp.asarray([[True, True, False, False]]),
+    }
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, imgs, sizes, gt=gt, rng=key, training=True)
+    # no ROI-head params materialize (flax init traces __call__ only)
+    assert "roi_heads" not in params["params"]
+    losses = jax.jit(
+        lambda p: model.apply(p, imgs, sizes, gt=gt, rng=key, training=True)
+    )(params)
+    for k in ("loss_centernet_pos", "loss_centernet_neg", "loss_centernet_loc",
+              "loss_centernet_agn_pos", "loss_centernet_agn_neg"):
+        assert k in losses and np.isfinite(float(losses[k])), (k, losses.get(k))
+    dets = model.apply(params, imgs, sizes, training=False)
+    assert dets["boxes"].shape == (B, 16, 4)
+    assert dets["classes"].shape == (B, 16)
+    assert set(np.asarray(dets["classes"]).ravel().tolist()) <= set(range(4))
+    assert np.isfinite(np.asarray(dets["scores"])).all()
