@@ -208,3 +208,95 @@ def test_fpn_and_full_coverage():
     }
     assert fpn["lateral_res3"]["conv"]["kernel"].shape == (1, 1, 32, 16)
     assert fpn["top_p6"]["conv"]["kernel"].shape == (3, 3, 16, 16)
+
+
+@pytest.mark.slow
+def test_converted_tree_mounts_into_real_params():
+    """Every path convert_d2_detector emits must exist in a real
+    CustomRCNN init tree — otherwise load_d2_detector_into would silently
+    skip it as 'unknown' (DetectionCheckpointer semantics hide typos)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from centernet.modeling.dense_heads.centernet_head import (
+        CenterNetHead as RefHead,
+    )
+    from detectron2.layers import ShapeSpec
+    from detectron2.modeling.backbone.resnet import BasicStem, ResNet as RefResNet
+    from detectron2.modeling.roi_heads.box_head import FastRCNNConvFCHead as RefBox
+    from detectron2.modeling.roi_heads.mask_head import (
+        MaskRCNNConvUpsampleHead as RefMask,
+    )
+    from divergen_tpu.config import get_cfg
+    from divergen_tpu.modeling.meta_arch.rcnn import build_model
+    from divergen_tpu.utils.torch_weights import convert_d2_detector
+
+    torch.manual_seed(11)
+    sd = {}
+    resnet = RefResNet(
+        BasicStem(norm="FrozenBN"),
+        RefResNet.make_default_stages(50, norm="FrozenBN", stride_in_1x1=True),
+        out_features=["res3", "res4", "res5"],
+    )
+    sd.update(_prefix(resnet.state_dict(), "backbone.bottom_up."))
+    for s in (3, 4, 5):
+        sd.update(_prefix(torch.nn.Conv2d(8, 8, 1).state_dict(), f"backbone.fpn_lateral{s}."))
+        sd.update(_prefix(torch.nn.Conv2d(8, 8, 3).state_dict(), f"backbone.fpn_output{s}."))
+    for p in ("p6", "p7"):
+        sd.update(_prefix(torch.nn.Conv2d(8, 8, 3).state_dict(), f"backbone.top_block.{p}."))
+    head = RefHead(in_channels=32, num_levels=5, num_classes=3, with_agn_hm=True,
+                   only_proposal=True, norm="GN", num_cls_convs=0,
+                   num_box_convs=2, num_share_convs=0)
+    sd.update(_prefix(head.state_dict(), "proposal_generator.centernet_head."))
+    for k in range(3):
+        sd.update(_prefix(
+            RefBox(input_shape=ShapeSpec(channels=8, height=7, width=7),
+                   conv_dims=[], fc_dims=[8, 8]).state_dict(),
+            f"roi_heads.box_head.{k}."))
+        sd.update(_prefix(torch.nn.Linear(8, 4).state_dict(),
+                          f"roi_heads.box_predictor.{k}.cls_score."))
+        sd.update(_prefix(torch.nn.Linear(8, 4).state_dict(),
+                          f"roi_heads.box_predictor.{k}.bbox_pred."))
+    sd.update(_prefix(
+        RefMask(input_shape=ShapeSpec(channels=8, height=14, width=14),
+                num_classes=1, conv_dims=[8, 8, 8, 8, 8]).state_dict(),
+        "roi_heads.mask_head."))
+    conv = convert_d2_detector(sd, fpn_in_features=("res3", "res4", "res5"))
+    conv.pop("_stats")
+
+    cfg = get_cfg()
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.CENTERNET.NUM_CLASSES = 4
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.CENTERNET.PRE_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.CENTERNET.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.ROI_MASK_HEAD.GT_SIDE = 16
+    model = build_model(cfg)
+    B, H, N = 1, 64, 4
+    imgs = jnp.zeros((B, H, H, 3), jnp.float32)
+    sizes = jnp.asarray([[H, H]], jnp.int32)
+    gt = {"boxes": jnp.asarray([[[4.0, 4, 30, 30]] * N]),
+          "classes": jnp.zeros((B, N), jnp.int32),
+          "valid": jnp.asarray([[True] + [False] * (N - 1)]),
+          "masks": jnp.ones((B, N, 16, 16), jnp.float32),
+          "instance_source": jnp.zeros((B, N), jnp.int32)}
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda: model.init(key, imgs, sizes, gt=gt, rng=key, training=True)
+    )()["params"]
+
+    missing = []
+
+    def walk(conv_node, params_node, path):
+        if not isinstance(conv_node, dict):
+            if params_node is None:
+                missing.append(path)
+            return
+        for k, v in conv_node.items():
+            walk(v, params_node.get(k) if isinstance(params_node, dict) else None,
+                 f"{path}/{k}")
+
+    walk(conv, params, "")
+    assert not missing, f"converted paths not in the real tree: {missing[:10]}"
