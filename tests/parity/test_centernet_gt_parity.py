@@ -125,3 +125,73 @@ def test_centernet_gt_empty_image(ref_cn):
     assert (reg.max(axis=1) <= -1e5).all()
     np.testing.assert_allclose(hm, 0.0, atol=1e-6)
     assert pos_count.sum() == 0
+
+
+@pytest.fixture(scope="module")
+def ref_cn_cls():
+    ref_loader.install()
+    from centernet.modeling.dense_heads.centernet import CenterNet
+
+    return CenterNet(
+        in_channels=32,
+        num_classes=4,
+        in_features=("p3", "p4"),
+        strides=STRIDES,
+        sizes_of_interest=[list(s) for s in SOI],
+        only_proposal=False,
+        with_agn_hm=True,
+        device="cpu",
+    )
+
+
+@pytest.mark.parametrize("boxes,classes", BOXES)
+def test_centernet_gt_classwise_parity(ref_cn_cls, boxes, classes):
+    """Per-class heatmaps + per-(loc, class) positives of the standalone
+    detector (reference _get_ground_truth with C-channel hms + labels)."""
+    import torch
+    import jax.numpy as jnp
+    from detectron2.structures import Boxes, Instances
+
+    from divergen_tpu.modeling.centernet.centernet import (
+        CenterNetConfig,
+        centernet_ground_truth_classwise,
+        level_geometry,
+    )
+
+    features = [torch.zeros(1, 32, h, w) for h, w in SHAPES]
+    grids = ref_cn_cls.compute_grids(features)
+    shapes_per_level = torch.tensor(SHAPES)
+    inst = Instances((128, 128))
+    inst.gt_boxes = Boxes(torch.tensor(boxes, dtype=torch.float32))
+    inst.gt_classes = torch.tensor(classes, dtype=torch.int64)
+    ref_pos, ref_labels, ref_reg, ref_hms = ref_cn_cls._get_ground_truth(
+        grids, shapes_per_level, [inst]
+    )
+
+    cfg = CenterNetConfig(strides=STRIDES, sizes_of_interest=SOI,
+                          only_proposal=False, num_classes=4)
+    geom = level_geometry(cfg, SHAPES)
+    n_pad = 8
+    b = np.zeros((1, n_pad, 4), np.float32)
+    c = np.zeros((1, n_pad), np.int32)
+    b[0, :len(boxes)] = boxes
+    c[0, :len(classes)] = classes
+    valid = np.zeros((1, n_pad), bool)
+    valid[0, :len(boxes)] = True
+    reg, hm_agn, hm_cls, pos_cls = centernet_ground_truth_classwise(
+        cfg, geom, jnp.asarray(b), jnp.asarray(c), jnp.asarray(valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(hm_cls[0]), ref_hms.numpy(), atol=1e-5, err_msg="classwise hms"
+    )
+    # positives: reference gives flat (loc) indices + labels; ours a count grid
+    want = np.zeros(np.asarray(pos_cls[0]).shape, np.int32)
+    np.add.at(want, (ref_pos.numpy(), ref_labels.numpy()), 1)
+    np.testing.assert_array_equal(np.asarray(pos_cls[0]), want)
+    # reg targets identical to the agnostic path
+    finite = ref_reg.numpy() > -1e7
+    np.testing.assert_allclose(
+        np.asarray(reg[0])[finite[:, 0] if finite.ndim > 1 else finite],
+        ref_reg.numpy()[finite[:, 0] if finite.ndim > 1 else finite],
+        atol=1e-4,
+    )

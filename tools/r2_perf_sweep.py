@@ -112,3 +112,10 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# Measurement-gated kernel ideas (do not implement blind):
+# - packed kernel: process TWO adjacent heads per grid step — block
+#   (1, bq, 128) spans 2 heads' channels, filling all 128 lanes at d=64
+#   (currently half-empty); kernel slices [:, :64]/[:, 64:] in VMEM.
+# - bf16 exp2 input: cast (s - m) to bf16 before exp2 if the VPU
+#   transcendental runs 2x at bf16; validate numerics vs f32 first.
