@@ -25,19 +25,42 @@ logger = logging.getLogger(__name__)
 
 
 def paste_mask_np(mask: np.ndarray, box: np.ndarray, h: int, w: int) -> np.ndarray:
-    """28² probability map → full-frame bool mask (mask_ops.py:74 semantics)."""
-    import cv2
+    """28² probability map → full-frame bool mask.
 
-    x1, y1, x2, y2 = box
-    x1i, y1i = int(np.floor(x1)), int(np.floor(y1))
-    x2i, y2i = int(np.ceil(x2)), int(np.ceil(y2))
-    x1i, y1i = max(x1i, 0), max(y1i, 0)
-    x2i, y2i = min(x2i, w), min(y2i, h)
+    Exact ``_do_paste_mask`` semantics (mask_ops.py: grid_sample with
+    align_corners=False over the box's sub-pixel extent, zero padding,
+    threshold 0.5) — a cv2.resize onto the integer box loses the fractional
+    offset and shifts mask-AP measurably (tests/parity/
+    test_mask_paste_parity.py pins this against the real detectron2 op)."""
+    x1, y1, x2, y2 = [float(v) for v in box]
+    x1i, y1i = max(int(np.floor(x1)), 0), max(int(np.floor(y1)), 0)
+    x2i, y2i = min(int(np.ceil(x2)), w), min(int(np.ceil(y2)), h)
     out = np.zeros((h, w), bool)
     if x2i <= x1i or y2i <= y1i:
         return out
-    resized = cv2.resize(mask.astype(np.float32), (x2i - x1i, y2i - y1i))
-    out[y1i:y2i, x1i:x2i] = resized >= 0.5
+    mh, mw = mask.shape
+    bw = max(x2 - x1, 1e-6)
+    bh = max(y2 - y1, 1e-6)
+    ys = (np.arange(y1i, y2i, dtype=np.float64) + 0.5 - y1) / bh * mh - 0.5
+    xs = (np.arange(x1i, x2i, dtype=np.float64) + 0.5 - x1) / bw * mw - 0.5
+    y0 = np.floor(ys)
+    x0 = np.floor(xs)
+    ly, lx = ys - y0, xs - x0
+    m = mask.astype(np.float64)
+
+    def take(yi, xi):
+        ok = ((yi >= 0) & (yi < mh))[:, None] & ((xi >= 0) & (xi < mw))[None, :]
+        v = m[np.clip(yi, 0, mh - 1)[:, None], np.clip(xi, 0, mw - 1)[None, :]]
+        return np.where(ok, v, 0.0)
+
+    y0i, x0i = y0.astype(np.int64), x0.astype(np.int64)
+    val = (
+        take(y0i, x0i) * ((1 - ly)[:, None] * (1 - lx)[None, :])
+        + take(y0i, x0i + 1) * ((1 - ly)[:, None] * lx[None, :])
+        + take(y0i + 1, x0i) * (ly[:, None] * (1 - lx)[None, :])
+        + take(y0i + 1, x0i + 1) * (ly[:, None] * lx[None, :])
+    )
+    out[y1i:y2i, x1i:x2i] = val >= 0.5
     return out
 
 

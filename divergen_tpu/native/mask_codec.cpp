@@ -65,9 +65,11 @@ int64_t rle_string_to_counts(const char* s, int64_t n,
 
 // Paste one (mh x mw) probability crop onto box (x1,y1,x2,y2) of an (H,W)
 // canvas and emit column-major (Fortran) RLE counts directly. Mapping
-// matches the numpy evaluator path exactly (lvis_evaluator.paste_mask_np:
-// cv2.resize of the crop onto the integer-clipped box, bilinear with
-// border clamp, then >= thresh).
+// matches detectron2's _do_paste_mask (mask_ops.py) and the numpy
+// evaluator path exactly: grid-sample with align_corners=False over the
+// box's SUB-PIXEL extent, zero padding outside the crop, then >= thresh
+// (an integer-extent resize loses the fractional box offset and shifts
+// mask AP; pinned by tests/parity/test_mask_paste_parity.py).
 // Returns number of counts, or -1 if out_cap too small.
 int64_t paste_mask_rle(const float* prob, int64_t mh, int64_t mw,
                        const float* box, int64_t H, int64_t W,
@@ -100,33 +102,36 @@ int64_t paste_mask_rle(const float* prob, int64_t mh, int64_t mw,
     return 1;
   }
 
+  const double bw = std::max((double)x2 - x1, 1e-6);
+  const double bh = std::max((double)y2 - y1, 1e-6);
+  (void)sw; (void)sh;
+  // zero-padded fetch: positions outside the crop contribute 0
+  auto at = [&](int64_t iy, int64_t ix) -> double {
+    if (iy < 0 || iy >= mh || ix < 0 || ix >= mw) return 0.0;
+    return (double)prob[iy * mw + ix];
+  };
   // leading all-zero columns
   if (!push(0, (int64_t)cx0 * H)) return -1;
-  std::vector<float> ys(cy1 - cy0), ws0(cy1 - cy0);
+  std::vector<double> ly_v(cy1 - cy0);
   std::vector<int64_t> yi(cy1 - cy0);
   for (int64_t y = cy0; y < cy1; y++) {
-    float fy = ((float)(y - cy0) + 0.5f) * (float)mh / sh - 0.5f;
-    fy = std::min(std::max(fy, 0.0f), (float)mh - 1.0f);
-    int64_t iy = std::min((int64_t)fy, mh - 2 >= 0 ? mh - 2 : (int64_t)0);
-    ys[y - cy0] = fy - (float)iy;
-    yi[y - cy0] = iy;
+    double fy = ((double)y + 0.5 - y1) / bh * (double)mh - 0.5;
+    double f0 = std::floor(fy);
+    ly_v[y - cy0] = fy - f0;
+    yi[y - cy0] = (int64_t)f0;
   }
   for (int64_t x = cx0; x < cx1; x++) {
-    float fx = ((float)(x - cx0) + 0.5f) * (float)mw / sw - 0.5f;
-    fx = std::min(std::max(fx, 0.0f), (float)mw - 1.0f);
-    int64_t ix = std::min((int64_t)fx, mw - 2 >= 0 ? mw - 2 : (int64_t)0);
-    float lx = fx - (float)ix;
+    double fx = ((double)x + 0.5 - x1) / bw * (double)mw - 0.5;
+    double fx0 = std::floor(fx);
+    int64_t ix = (int64_t)fx0;
+    double lx = fx - fx0;
     // rows above the box are zero
     if (!push(0, cy0)) return -1;
     for (int64_t r = 0; r < cy1 - cy0; r++) {
       int64_t iy = yi[r];
-      float ly = ys[r];
-      int64_t iy1 = std::min(iy + 1, mh - 1);
-      int64_t ix1 = std::min(ix + 1, mw - 1);
-      float v00 = prob[iy * mw + ix], v01 = prob[iy * mw + ix1];
-      float v10 = prob[iy1 * mw + ix], v11 = prob[iy1 * mw + ix1];
-      float v = v00 * (1 - ly) * (1 - lx) + v01 * (1 - ly) * lx +
-                v10 * ly * (1 - lx) + v11 * ly * lx;
+      double ly = ly_v[r];
+      double v = at(iy, ix) * (1 - ly) * (1 - lx) + at(iy, ix + 1) * (1 - ly) * lx +
+                 at(iy + 1, ix) * ly * (1 - lx) + at(iy + 1, ix + 1) * ly * lx;
       if (!push(v >= thresh ? 1 : 0, 1)) return -1;
     }
     if (!push(0, H - cy1)) return -1;

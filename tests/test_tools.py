@@ -120,3 +120,88 @@ def test_reset_cls_test_new_vocab_size():
     assert np.asarray(out["params"]["p"]["zs_weight"]).shape == (4, 7)
     with np.testing.assert_raises(AssertionError):
         reset_cls_test(params, np.ones((5, 3), np.float32))  # zs_dim mismatch
+
+
+@pytest.mark.slow
+def test_import_reference_checkpoint_cli(tmp_path):
+    """Reference .pth → orbax TrainState checkpoint → do_test can restore it
+    (the DetectionCheckpointer torch-loading analog, made explicit)."""
+    import subprocess
+    import sys as _sys
+
+    import torch
+
+    _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent / "parity"))
+    import ref_loader
+
+    ref_loader.install()
+    from detectron2.layers import ShapeSpec
+    from detectron2.modeling.backbone.resnet import BasicStem, ResNet as RefResNet
+    from detectron2.modeling.roi_heads.box_head import FastRCNNConvFCHead as RefBox
+    from detectron2.modeling.roi_heads.mask_head import (
+        MaskRCNNConvUpsampleHead as RefMask,
+    )
+    from centernet.modeling.dense_heads.centernet_head import CenterNetHead as RefHead
+
+    torch.manual_seed(12)
+    sd = {}
+    resnet = RefResNet(
+        BasicStem(norm="FrozenBN"),
+        RefResNet.make_default_stages(50, norm="FrozenBN", stride_in_1x1=True),
+        out_features=["res3", "res4", "res5"],
+    )
+    for k, v in resnet.state_dict().items():
+        sd[f"backbone.bottom_up.{k}"] = v
+    for s in (3, 4, 5):
+        for k, v in torch.nn.Conv2d({3: 512, 4: 1024, 5: 2048}[s], 256, 1).state_dict().items():
+            sd[f"backbone.fpn_lateral{s}.{k}"] = v
+        for k, v in torch.nn.Conv2d(256, 256, 3, padding=1).state_dict().items():
+            sd[f"backbone.fpn_output{s}.{k}"] = v
+    for p in ("p6", "p7"):
+        for k, v in torch.nn.Conv2d(256, 256, 3, stride=2, padding=1).state_dict().items():
+            sd[f"backbone.top_block.{p}.{k}"] = v
+    head = RefHead(in_channels=256, num_levels=5, num_classes=4, with_agn_hm=True,
+                   only_proposal=True, norm="GN", num_cls_convs=0,
+                   num_box_convs=4, num_share_convs=0)
+    for k, v in head.state_dict().items():
+        sd[f"proposal_generator.centernet_head.{k}"] = v
+    for st in range(3):
+        bh = RefBox(input_shape=ShapeSpec(channels=256, height=7, width=7),
+                    conv_dims=[], fc_dims=[1024, 1024])
+        for k, v in bh.state_dict().items():
+            sd[f"roi_heads.box_head.{st}.{k}"] = v
+        for k, v in torch.nn.Linear(1024, 5).state_dict().items():
+            sd[f"roi_heads.box_predictor.{st}.cls_score.{k}"] = v
+        for k, v in torch.nn.Linear(1024, 4).state_dict().items():
+            sd[f"roi_heads.box_predictor.{st}.bbox_pred.{k}"] = v
+    mh = RefMask(input_shape=ShapeSpec(channels=256, height=14, width=14),
+                 num_classes=1, conv_dims=[256] * 5)
+    for k, v in mh.state_dict().items():
+        sd[f"roi_heads.mask_head.{k}"] = v
+    pth = tmp_path / "ref_model.pth"
+    torch.save({"model": sd}, pth)
+
+    cfg_file = tmp_path / "cfg.yaml"
+    cfg_file.write_text(
+        "MODEL:\n"
+        "  RESNETS:\n    DEPTH: 50\n"
+        "  CENTERNET:\n    NUM_CLASSES: 4\n"
+        "  ROI_HEADS:\n    NUM_CLASSES: 4\n"
+        f"OUTPUT_DIR: {tmp_path / 'out'}\n"
+    )
+    r = subprocess.run(
+        [_sys.executable, "tools/import_reference_checkpoint.py",
+         "--config-file", str(cfg_file), "--checkpoint", str(pth),
+         "--output", str(tmp_path / "out")],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "imported" in r.stdout
+
+    # the orbax checkpoint restores with params present
+    from divergen_tpu.engine.checkpoint import Checkpointer
+
+    ckpt = Checkpointer(str(tmp_path / "out"))
+    assert ckpt.latest_step() == 0
+    raw = ckpt._mgr.restore(0)
+    assert "params" in raw and "bottom_up" in raw["params"]["params"]
