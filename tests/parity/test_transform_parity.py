@@ -63,3 +63,30 @@ def test_resize_crop_geometry_parity(hw, draws, monkeypatch):
         our_t.apply_coords(pts.copy()), ref_t.apply_coords(pts.copy()),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_inverse_apply_box_parity():
+    """Eval-time box back-projection vs the reference transform
+    (custom_transform.py:96-114 inverse_apply_box)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_ct",
+        "/root/reference/DiverGen/divergen/data/transforms/custom_transform.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from divergen_tpu.data.transforms import ResizeCropTransform
+
+    rng = np.random.RandomState(3)
+    ref_t = mod.EfficientDetResizeCropTransform(
+        300, 400, 17, 23, 0.625, (896, 896), None
+    )
+    our_t = ResizeCropTransform(300, 400, 17, 23, 0.625, (896, 896))
+    boxes = (rng.rand(10, 4) * 400).astype(np.float32)
+    boxes[:, 2:] += boxes[:, :2]
+    np.testing.assert_allclose(
+        our_t.inverse_apply_box(boxes.copy()),
+        ref_t.inverse_apply_box(boxes.copy()),
+        rtol=1e-5, atol=1e-4,
+    )
