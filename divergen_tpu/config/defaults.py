@@ -248,7 +248,10 @@ def get_cfg() -> ConfigNode:
     a.LOSS = ["loss_cls_stage0", "loss_cls_stage1", "loss_cls_stage2"]
     a.GRAD_COMPARE = True
     a.FORWARD_ONCE = True
-    a.ONCE_MODE = "only_paste_-0.05"
+    # when set, the reference mode string drives threshold/dynamic parsing
+    # (ActiveConfig.from_cfg); empty → the declarative THRESHOLD/
+    # DYNAMIC_THRESHOLD flags below apply directly
+    a.ONCE_MODE = ""
     a.MOMENTUM = 0.1
     a.BANK_UPDATE_PERIOD = 1
     a.BANK_CKPT_PERIOD = 10000

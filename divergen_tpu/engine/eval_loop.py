@@ -148,9 +148,7 @@ def do_test(cfg, model=None, state: Optional[TrainState] = None, resume: bool = 
             # (ref train_net.py:89-93 reset_cls_test): in zero-shot mode
             # every other head param is class-agnostic, so a rebuilt module
             # with the new class count reuses the same params
-            import numpy as np
-
-            from ..modeling.meta_arch.rcnn import build_model, reset_cls_test
+            from ..modeling.meta_arch.rcnn import reset_cls_test
 
             w = np.load(cfg.MODEL.TEST_CLASSIFIERS[d])
             n_cls = int(cfg.MODEL.TEST_NUM_CLASSES[d]) if cfg.MODEL.TEST_NUM_CLASSES else w.shape[1]
