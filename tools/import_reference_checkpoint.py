@@ -15,11 +15,19 @@ Writes OUTPUT/checkpoints/<step>/ holding a full TrainState (params +
 fresh optimizer state [+ EMA copy]) so both eval and fine-tune resumes work.
 """
 import argparse
+import os
 import sys
 
 import numpy as np
 
 sys.path.insert(0, ".")
+
+# conversion is pure host work (name mapping + a tiny-shape init); run on
+# CPU so importing a checkpoint never requires a live TPU
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def main():
@@ -33,7 +41,6 @@ def main():
     ap.add_argument("opts", nargs="*")
     args = ap.parse_args()
 
-    import jax
     import jax.numpy as jnp
 
     from divergen_tpu.config import get_cfg
