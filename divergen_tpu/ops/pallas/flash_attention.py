@@ -258,8 +258,51 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, 
         ).astype(o_ref.dtype)
 
 
+def _packed_kernel2(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                    scale, num_kv, d):
+    """Two adjacent heads per grid step: the (1, block, 2D) channel block
+    fills all 128 lanes at D=64 (a single-head block leaves half the lane
+    tile empty in VMEM and DMA); the softmax body runs per sub-head."""
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    for t in range(2):
+        sl = slice(t * d, (t + 1) * d)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (scale * LOG2_E)
+        m_prev = m_scr[:, t]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        p = jnp.exp2(s - m_cur[:, None])
+        alpha = jnp.exp2(m_prev - m_cur)
+        l_scr[:, t] = l_scr[:, t] * alpha + jnp.sum(p, axis=-1)
+        acc_scr[:, sl] = acc_scr[:, sl] * alpha[:, None] + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        m_scr[:, t] = m_cur
+
+    @pl.when(j == num_kv - 1)
+    def _():
+        out = []
+        for t in range(2):
+            sl = slice(t * d, (t + 1) * d)
+            out.append(
+                acc_scr[:, sl] / jnp.maximum(l_scr[:, t], 1e-30)[:, None]
+            )
+        o_ref[0] = jnp.concatenate(out, axis=-1).astype(o_ref.dtype)
+
+
 def flash_attention_packed(
-    qkv: Array, heads: int, use_pallas: bool | None = None, interpret: bool = False
+    qkv: Array, heads: int, use_pallas: bool | None = None, interpret: bool = False,
+    heads_per_block: int = 1,
 ) -> Array:
     """Self-attention on a fused-QKV projection without any head transpose.
 
@@ -302,22 +345,31 @@ def flash_attention_packed(
         return out.reshape(b, h, n, d).transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
     num_kv = n // block_k
-    grid = (b, h, n // block_q, num_kv)
-    q_spec = pl.BlockSpec((1, block_q, d), lambda bb, hh, i, j: (bb, i, hh),
+    hpb = heads_per_block if (heads_per_block == 2 and h % 2 == 0) else 1
+    grid = (b, h // hpb, n // block_q, num_kv)
+    bd = hpb * d  # channel-block width; index units below are bd-sized
+    q_spec = pl.BlockSpec((1, block_q, bd), lambda bb, hh, i, j: (bb, i, hh),
                           memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((1, block_k, d), lambda bb, hh, i, j: (bb, j, h + hh),
+    k_spec = pl.BlockSpec((1, block_k, bd),
+                          lambda bb, hh, i, j: (bb, j, h // hpb + hh),
                           memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, block_k, d), lambda bb, hh, i, j: (bb, j, 2 * h + hh),
+    v_spec = pl.BlockSpec((1, block_k, bd),
+                          lambda bb, hh, i, j: (bb, j, 2 * (h // hpb) + hh),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, block_q, d), lambda bb, hh, i, j: (bb, i, hh),
+    out_spec = pl.BlockSpec((1, block_q, bd), lambda bb, hh, i, j: (bb, i, hh),
                             memory_space=pltpu.VMEM)
     scratch = [
-        pltpu.VMEM((block_q, 1), jnp.float32),
-        pltpu.VMEM((block_q, 1), jnp.float32),
-        pltpu.VMEM((block_q, d), jnp.float32),
+        pltpu.VMEM((block_q, hpb), jnp.float32),
+        pltpu.VMEM((block_q, hpb), jnp.float32),
+        pltpu.VMEM((block_q, bd), jnp.float32),
     ]
+    kernel = (
+        functools.partial(_packed_kernel2, scale=scale, num_kv=num_kv, d=d)
+        if hpb == 2
+        else functools.partial(_packed_kernel, scale=scale, num_kv=num_kv)
+    )
     out = pl.pallas_call(
-        functools.partial(_packed_kernel, scale=scale, num_kv=num_kv),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, h * d), qkv.dtype),
         grid=grid,
         in_specs=[q_spec, k_spec, v_spec],

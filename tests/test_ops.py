@@ -239,3 +239,20 @@ class TestAttention:
         np.testing.assert_allclose(
             out, self._packed_reference(np.asarray(qkv), 2), atol=2e-3, rtol=2e-3
         )
+
+    def test_packed_two_heads_per_block_interpret(self, rng):
+        """heads_per_block=2: the (1, block, 2D) channel block and per-
+        sub-head softmax must match the unpacked reference; odd head counts
+        fall back to single-head blocks."""
+        qkv = jnp.array(rng.randn(1, 256, 3 * 4 * 64).astype(np.float32))
+        out = flash_attention_packed(qkv, heads=4, interpret=True,
+                                     heads_per_block=2)
+        np.testing.assert_allclose(
+            out, self._packed_reference(np.asarray(qkv), 4), atol=2e-3, rtol=2e-3
+        )
+        qkv3 = jnp.array(rng.randn(1, 256, 3 * 3 * 64).astype(np.float32))
+        out3 = flash_attention_packed(qkv3, heads=3, interpret=True,
+                                      heads_per_block=2)  # falls back to 1
+        np.testing.assert_allclose(
+            out3, self._packed_reference(np.asarray(qkv3), 3), atol=2e-3, rtol=2e-3
+        )

@@ -31,13 +31,16 @@ def test_flash_attention_forward_parity(b, s, d):
 
 # ---------------- packed (transpose-free) flash attention ----------------
 @pytest.mark.parametrize("b,n,h,d", [(2, 1024, 10, 64), (2, 4096, 10, 64)])
-def test_flash_attention_packed_parity(b, n, h, d):
-    """Fused-QKV BlockSpec slicing on hardware, at the SDXL token counts."""
+@pytest.mark.parametrize("hpb", [1, 2])
+def test_flash_attention_packed_parity(b, n, h, d, hpb):
+    """Fused-QKV BlockSpec slicing on hardware, at the SDXL token counts,
+    for both single-head and lane-filling two-head channel blocks."""
     from divergen_tpu.ops.pallas.flash_attention import flash_attention_packed
 
     rng = np.random.RandomState(1)
     qkv = jnp.asarray(rng.randn(b, n, 3 * h * d), jnp.float32)
-    got = np.asarray(flash_attention_packed(qkv, heads=h, use_pallas=True))
+    got = np.asarray(flash_attention_packed(qkv, heads=h, use_pallas=True,
+                                            heads_per_block=hpb))
     want = np.asarray(flash_attention_packed(qkv, heads=h, use_pallas=False))
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
 
