@@ -96,12 +96,38 @@ def bench_swin(fused):
                       "rc": out.returncode}), flush=True)
 
 
+def bench_packed_kernel():
+    """Isolated packed-attention kernel at the SDXL level-1 shape, for the
+    single-head vs two-head (lane-filling) channel-block decision."""
+    from divergen_tpu.ops.pallas.flash_attention import flash_attention_packed
+
+    b, n, h, d = 2, 4096, 10, 64
+    qkv = jnp.asarray(np.random.RandomState(0).randn(b, n, 3 * h * d),
+                      jnp.bfloat16)
+    for hpb in (1, 2):
+        fn = jax.jit(lambda x, _hpb=hpb: flash_attention_packed(
+            x, heads=h, use_pallas=True, heads_per_block=_hpb))
+
+        def run_k(k, _fn=fn):
+            out = qkv
+            y = None
+            for _ in range(k):
+                y = _fn(out)
+                out = qkv + y[..., :1].mean() * 0  # chain dep
+            return _fn(out)
+
+        t = _diff_time(run_k, 2, 12, lambda o: np.asarray(o[0, 0, :4]).sum())
+        print(json.dumps({"metric": f"packed_attn_ms_hpb{hpb}",
+                          "value": round(t * 1e3, 3)}), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip_swin", action="store_true")
     ap.add_argument("--skip_unet", action="store_true")
     args = ap.parse_args()
     print(json.dumps({"devices": str(jax.devices())}), flush=True)
+    bench_packed_kernel()
     if not args.skip_unet:
         for B in (1, 4):
             bench_unet(B)
