@@ -105,15 +105,24 @@ class GroupNorm32(nn.Module):
 class ResBlock(nn.Module):
     out_channels: int
     dtype: Any = jnp.float32
+    conv_matmul: bool = False  # 3x3 convs as im2col GEMMs (ops/conv_matmul)
 
     @nn.compact
     def __call__(self, x: Array, emb: Array) -> Array:
+        if self.conv_matmul:
+            from ...ops.conv_matmul import Conv3x3MM
+
+            conv = lambda name: Conv3x3MM(self.out_channels, dtype=self.dtype, name=name)
+        else:
+            conv = lambda name: nn.Conv(
+                self.out_channels, (3, 3), padding=1, dtype=self.dtype, name=name
+            )
         h = nn.silu(GroupNorm32(dtype=self.dtype, name="norm1")(x))
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = conv("conv1")(h)
         e = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(emb))
         h = h + e[:, None, None, :]
         h = nn.silu(GroupNorm32(dtype=self.dtype, name="norm2")(h))
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = conv("conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
@@ -293,6 +302,7 @@ class UNetSDXL(nn.Module):
     pooled_proj_dim: int = 2816  # 1280 pooled + 6*256 time ids
     num_class_embeds: Optional[int] = None  # SD-x4-upscaler: 1000 noise levels
     quant: bool = False  # int8 transformer matmuls (ops/quant.py)
+    conv_matmul: bool = False  # resblock 3x3 convs as im2col GEMMs
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -345,7 +355,7 @@ class UNetSDXL(nn.Module):
             # down
             for lvl, ch in enumerate(self.block_channels):
                 for i in range(self.layers_per_block):
-                    x = ResBlock(ch, self.dtype, name=f"down{lvl}_res{i}")(x, emb)
+                    x = ResBlock(ch, self.dtype, self.conv_matmul, name=f"down{lvl}_res{i}")(x, emb)
                     if self.transformer_depths[lvl]:
                         x = SpatialTransformer(
                             ch, ch // self.head_dim, self.transformer_depths[lvl],
@@ -362,18 +372,18 @@ class UNetSDXL(nn.Module):
         encoder_state = (x, tuple(skips))
         # mid
         ch = self.block_channels[-1]
-        x = ResBlock(ch, self.dtype, name="mid_res0")(x, emb)
+        x = ResBlock(ch, self.dtype, self.conv_matmul, name="mid_res0")(x, emb)
         x = SpatialTransformer(
             ch, ch // self.head_dim, self.transformer_depths[-1], self.dtype,
             quant=self.quant, name="mid_attn",
         )(x, context)
-        x = ResBlock(ch, self.dtype, name="mid_res1")(x, emb)
+        x = ResBlock(ch, self.dtype, self.conv_matmul, name="mid_res1")(x, emb)
         # up
         for lvl in reversed(range(len(self.block_channels))):
             ch = self.block_channels[lvl]
             for i in range(self.layers_per_block + 1):
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
-                x = ResBlock(ch, self.dtype, name=f"up{lvl}_res{i}")(x, emb)
+                x = ResBlock(ch, self.dtype, self.conv_matmul, name=f"up{lvl}_res{i}")(x, emb)
                 if self.transformer_depths[lvl]:
                     x = SpatialTransformer(
                         ch, ch // self.head_dim, self.transformer_depths[lvl],

@@ -256,3 +256,20 @@ class TestAttention:
         np.testing.assert_allclose(
             out3, self._packed_reference(np.asarray(qkv3), 3), atol=2e-3, rtol=2e-3
         )
+
+
+def test_conv3x3_im2col_matches_nn_conv():
+    """ops/conv_matmul: identical params, identical outputs to nn.Conv
+    (the UNet's conv_matmul=True path must be a pure layout change)."""
+    import flax.linen as nn
+
+    from divergen_tpu.ops.conv_matmul import Conv3x3MM
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 12, 10, 16), jnp.float32)
+    ref = nn.Conv(24, (3, 3), padding=1)
+    params = ref.init(jax.random.PRNGKey(0), x)
+    want = ref.apply(params, x)
+    got = Conv3x3MM(24).apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -34,11 +34,11 @@ def _diff_time(run_k, k_small, k_big, probe):
     return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
 
-def bench_unet(B):
+def bench_unet(B, conv_matmul=False):
     from divergen_tpu.pipeline.generation.scheduler import euler_sigmas, make_scheduler
     from divergen_tpu.pipeline.generation.unet import UNetSDXL
 
-    unet = UNetSDXL(dtype=jnp.bfloat16)
+    unet = UNetSDXL(dtype=jnp.bfloat16, conv_matmul=conv_matmul)
     lat = jnp.zeros((B, 128, 128, 4), jnp.float32)
     ctx = jnp.zeros((2 * B, 77, 2048), jnp.bfloat16)
     pooled = jnp.zeros((2 * B, 1280), jnp.bfloat16)
@@ -76,7 +76,7 @@ def bench_unet(B):
         return probes[k](params, lat)
 
     per_step = _diff_time(run_k, 2, 10, lambda o: np.asarray(o[0, ::64, ::64, 0]).sum())
-    print(json.dumps({"metric": f"unet_step_ms_B{B}",
+    print(json.dumps({"metric": f"unet_step_ms_B{B}_convmm{int(conv_matmul)}",
                       "value": round(per_step * 1e3, 2),
                       "per_img_50step_s": round(per_step * 50 / B, 3)}), flush=True)
     return per_step
@@ -131,6 +131,7 @@ def main():
     if not args.skip_unet:
         for B in (1, 4):
             bench_unet(B)
+        bench_unet(4, conv_matmul=True)  # im2col-GEMM resblock convs A/B
     if not args.skip_swin:
         for fused in (False, True):
             bench_swin(fused)
