@@ -74,7 +74,13 @@ class TrainLoader:
             futs = []
             for _ in range(self.batch_size):
                 idx = next(it)
-                futs.append(pool.submit(self._map_one, (idx, self._seed * 1_000_003 + counter)))
+                try:
+                    futs.append(pool.submit(self._map_one, (idx, self._seed * 1_000_003 + counter)))
+                except RuntimeError:
+                    # interpreter/pool shutdown raced the daemon producer —
+                    # treat as a stop signal instead of dying noisily
+                    self._stop.set()
+                    return
                 counter += 1
             pending.put(futs)
 
