@@ -91,3 +91,55 @@ def int8_matmul_pallas(
             dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
     )(x_q, x_scale, w_q, w_scale.reshape(1, n))
+
+
+def _kernel_fq(x_ref, wq_ref, ws_ref, o_ref):
+    """Fused dynamic activation quantization + int8 dot + dequant epilogue.
+
+    The whole K extent lives in the (bm, K) block, so the per-row absmax is
+    computed in VMEM — the separate quantize pass (one extra HBM round trip
+    of x + one more kernel launch per GEMM) disappears. Semantics match
+    ops.quant.quantize_act (symmetric absmax / 127)."""
+    x = x_ref[:].astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    o_ref[:] = (acc.astype(jnp.float32) * scale * ws_ref[:]).astype(o_ref.dtype)
+
+
+def supported_fused_quant(m: int, k: int, n: int) -> bool:
+    # K is unblocked (whole extent in VMEM): (bm, K) bf16 + (K, bn) int8
+    # must fit comfortably; SDXL transformer K <= 2560
+    return bool(_pick_block(m) and _pick_block(n)) and k % 128 == 0 and k <= 4096
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def int8_matmul_fused_quant(
+    x: Array,  # (M, K) bf16/f32
+    w_q: Array,  # (K, N) int8
+    w_scale: Array,  # (N,) f32
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> Array:
+    m, k = x.shape
+    _, n = w_q.shape
+    bm = min(_pick_block(m), 512)
+    bn = min(_pick_block(n), 1024)
+    grid = (m // bm, n // bn)
+    return pl.pallas_call(
+        _kernel_fq,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        interpret=interpret,
+    )(x, w_q, w_scale.reshape(1, n))

@@ -58,7 +58,6 @@ def int8_matmul(x: Array, w_q: Array, w_scale: Array,
     and the dequant fuses into the epilogue — XLA's lowering materializes
     the int32 accumulator in HBM, which erases the int8 win at SDXL sizes.
     """
-    x_q, x_scale = quantize_act(x)
     lead = x.shape[:-1]
     m = 1
     for s in lead:
@@ -66,14 +65,28 @@ def int8_matmul(x: Array, w_q: Array, w_scale: Array,
     k = x.shape[-1]
     n = w_q.shape[1]
     if _on_tpu():
-        from .pallas.int8_matmul import int8_matmul_pallas, supported
+        from .pallas.int8_matmul import (
+            int8_matmul_fused_quant,
+            int8_matmul_pallas,
+            supported,
+            supported_fused_quant,
+        )
 
+        if supported_fused_quant(m, k, n):
+            # activation quantization happens in-kernel (per-row absmax in
+            # VMEM): no separate quantize pass, half the kernel launches
+            out = int8_matmul_fused_quant(
+                x.reshape(m, k), w_q, w_scale, out_dtype=out_dtype
+            )
+            return out.reshape(*lead, n)
         if supported(m, k, n):
+            x_q, x_scale = quantize_act(x)
             out = int8_matmul_pallas(
                 x_q.reshape(m, k), x_scale.reshape(m, 1), w_q, w_scale,
                 out_dtype=out_dtype,
             )
             return out.reshape(*lead, n)
+    x_q, x_scale = quantize_act(x)
     acc = jax.lax.dot_general(
         x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,

@@ -115,3 +115,30 @@ def test_pipeline_int8_generate_runs():
     o = np.asarray(out)
     # tiny 2-level VAE upscales 2x from the 8x8 latent
     assert o.shape == (1, 16, 16, 3) and np.isfinite(o).all()
+
+
+def test_int8_matmul_fused_quant_interpret():
+    """Fused in-kernel activation quantization == quantize_act + int8 dot
+    (interpret mode; hardware timing in tools/r2_perf_sweep.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from divergen_tpu.ops.pallas.int8_matmul import (
+        int8_matmul_fused_quant,
+        supported_fused_quant,
+    )
+    from divergen_tpu.ops.quant import quantize_act, quantize_weight
+
+    rng = np.random.RandomState(0)
+    m, k, n = 256, 640, 512
+    assert supported_fused_quant(m, k, n)
+    x = jnp.asarray(rng.randn(m, k) * 0.2, jnp.float32)
+    w = jnp.asarray(rng.randn(k, n) * 0.05, jnp.float32)
+    wq, ws = quantize_weight(w)
+    got = np.asarray(int8_matmul_fused_quant(x, wq, ws, out_dtype=jnp.float32,
+                                             interpret=True))
+    xq, xs = quantize_act(x)
+    acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    want = np.asarray(acc.astype(jnp.float32) * xs * ws)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)

@@ -234,3 +234,24 @@ def test_fused_layer_norm_parity(shape):
                      np.float32)
     want = np.asarray(jax.jit(lambda *a: _reference(*a, 1e-5))(x, g, b), np.float32)
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("m,k,n", [(2048, 1280, 1280), (8192, 640, 2560)])
+def test_int8_fused_quant_hardware_parity(m, k, n):
+    from divergen_tpu.ops.pallas.int8_matmul import (
+        int8_matmul_fused_quant,
+        supported_fused_quant,
+    )
+    from divergen_tpu.ops.quant import quantize_act, quantize_weight
+
+    assert supported_fused_quant(m, k, n)
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(m, k) * 0.1, jnp.bfloat16)
+    w = jnp.asarray(rng.randn(k, n) * 0.02, jnp.float32)
+    wq, ws = quantize_weight(w)
+    got = np.asarray(int8_matmul_fused_quant(x, wq, ws, out_dtype=jnp.float32))
+    xq, xs = quantize_act(x)
+    acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    want = np.asarray(acc.astype(jnp.float32) * xs * ws)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
