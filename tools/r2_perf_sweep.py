@@ -34,11 +34,11 @@ def _diff_time(run_k, k_small, k_big, probe):
     return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
 
-def bench_unet(B, conv_matmul=False):
+def bench_unet(B, conv_matmul=False, int8=False):
     from divergen_tpu.pipeline.generation.scheduler import euler_sigmas, make_scheduler
-    from divergen_tpu.pipeline.generation.unet import UNetSDXL
+    from divergen_tpu.pipeline.generation.unet import UNetSDXL, transformer_quant_select
 
-    unet = UNetSDXL(dtype=jnp.bfloat16, conv_matmul=conv_matmul)
+    unet = UNetSDXL(dtype=jnp.bfloat16, conv_matmul=conv_matmul, quant=int8)
     lat = jnp.zeros((B, 128, 128, 4), jnp.float32)
     ctx = jnp.zeros((2 * B, 77, 2048), jnp.bfloat16)
     pooled = jnp.zeros((2 * B, 1280), jnp.bfloat16)
@@ -46,6 +46,12 @@ def bench_unet(B, conv_matmul=False):
     params = jax.jit(unet.init)(jax.random.PRNGKey(0), lat[:1], jnp.zeros((1,)),
                                 ctx[:1], pooled[:1], tids[:1])
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    if int8:
+        from divergen_tpu.ops.quant import quantize_param_tree
+
+        params = jax.jit(
+            lambda p: quantize_param_tree(p, select=transformer_quant_select)
+        )(params)
     sched = make_scheduler("scaled_linear")
     ts, sigmas = euler_sigmas(sched, 50)
     ts_j, sig_j = jnp.asarray(ts, jnp.float32), jnp.asarray(sigmas, jnp.float32)
@@ -76,7 +82,7 @@ def bench_unet(B, conv_matmul=False):
         return probes[k](params, lat)
 
     per_step = _diff_time(run_k, 2, 10, lambda o: np.asarray(o[0, ::64, ::64, 0]).sum())
-    print(json.dumps({"metric": f"unet_step_ms_B{B}_convmm{int(conv_matmul)}",
+    print(json.dumps({"metric": f"unet_step_ms_B{B}_convmm{int(conv_matmul)}_int8{int(int8)}",
                       "value": round(per_step * 1e3, 2),
                       "per_img_50step_s": round(per_step * 50 / B, 3)}), flush=True)
     return per_step
@@ -132,6 +138,7 @@ def main():
         for B in (1, 4):
             bench_unet(B)
         bench_unet(4, conv_matmul=True)  # im2col-GEMM resblock convs A/B
+        bench_unet(4, int8=True)  # W8A8 with in-kernel activation quant
     if not args.skip_swin:
         for fused in (False, True):
             bench_swin(fused)
