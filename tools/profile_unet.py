@@ -102,10 +102,14 @@ def main():
 
     orig = fa.flash_attention
     orig_ref = fa.reference_attention
+    orig_packed = fa.flash_attention_packed
     for name in want:
         ctor, patch = variants[name]
+        # self-attention now runs the packed fused-QKV kernel; mirror every
+        # self-attn ablation onto it
         if patch == "xla":
             fa.flash_attention = lambda q, k, v, bias=None, **kw: fa.reference_attention(q, k, v, bias)
+            fa.flash_attention_packed = lambda qkv, heads, **kw: orig_packed(qkv, heads, use_pallas=False)
         elif patch == "nocross":
             fa.reference_attention = lambda q, k, v, bias=None: jnp.broadcast_to(v[:, :1], q.shape)
         elif patch == "noattn":
@@ -114,6 +118,9 @@ def main():
                     return v  # self-attn: skip the attention math, keep matmuls
                 return jnp.broadcast_to(v[:, :1], q.shape)  # cross: seq mismatch
             fa.flash_attention = noat
+            fa.flash_attention_packed = (
+                lambda qkv, heads, **kw: qkv[..., : qkv.shape[-1] // 3]
+            )
         elif patch == "crosspallas":
             # unet routes nk<=128 через reference_attention; patch that name
             fa.reference_attention = lambda q, k, v, bias=None: orig(q, k, v, bias)
@@ -123,9 +130,11 @@ def main():
                     return fa.reference_attention(q, k, v, bias)
                 return orig(q, k, v, bias, **kw)
             fa.flash_attention = sel
+            fa.flash_attention_packed = lambda qkv, heads, **kw: orig_packed(qkv, heads, use_pallas=False)
         else:
             fa.flash_attention = orig
             fa.reference_attention = orig_ref
+            fa.flash_attention_packed = orig_packed
         t = time_step(ctor(), B=args.batch)
         results[name] = t
         print(f"{name:8s}: {t * 1e3:8.2f} ms/step (B={args.batch}, {t * 1e3 / args.batch:.2f} ms/img/step)", flush=True)
