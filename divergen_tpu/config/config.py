@@ -81,6 +81,9 @@ class ConfigNode(dict):
         """Load YAML, following ``_BASE_`` chains relative to the file."""
         loaded = _load_yaml_with_base(filename)
         self._merge_dict(loaded, allow_new=allow_new)
+        hook = getattr(self, "_post_merge", None)
+        if hook is not None:
+            hook(self)
 
     def merge_from_list(self, opts: List[str]) -> None:
         """yacs-style pairwise CLI overrides: ``["A.B.C", "value", ...]``."""

@@ -56,6 +56,12 @@ def get_cfg() -> ConfigNode:
     m.CAP_BATCH_RATIO = 4
     m.DYNAMIC_CLASSIFIER = False
     m.DATASET_LOSS_WEIGHT = []  # per-dataset loss scale (custom_rcnn.py:197-202)
+    # ablation switches: False restores the X-Paste instance_source loss
+    # masking (detic_fast_rcnn.py:154, consumed via cfg.MODEL.get)
+    m.USE_DIVERGEN_BOX_LOSS = True
+    m.USE_DIVERGEN_MASK_LOSS = True
+    m.USE_XPASTE_BOX_LOSS = True
+    m.USE_XPASTE_MASK_LOSS = True
     m.NUM_SAMPLE_CATS = 50
     m.ROI_BOX_HEAD_2 = ConfigNode()
 
@@ -166,7 +172,6 @@ def get_cfg() -> ConfigNode:
     r.PROPOSAL_APPEND_GT = True
     r.MASK_WEIGHT = 1.0
     r.ONE_CLASS_PER_PROPOSAL = False
-    r.MULT_PROPOSAL_SCORE = True  # geometric-mean fusion (detic_roi_heads.py:251)
     r.DETECTIONS_PER_IMAGE = 300
 
     b = m.ROI_BOX_HEAD = ConfigNode()
@@ -180,6 +185,10 @@ def get_cfg() -> ConfigNode:
     b.POOLER_SAMPLING_RATIO = 0
     b.POOLER_TYPE = "ROIAlignV2"
     b.CLS_AGNOSTIC_BBOX_REG = True
+    # geometric-mean fusion of proposal and class scores at inference
+    # (detic_roi_heads.py:251; the reference declares this under
+    # ROI_BOX_HEAD — yaml merges land here)
+    b.MULT_PROPOSAL_SCORE = True
     b.SMOOTH_L1_BETA = 0.0
     b.BBOX_REG_LOSS_TYPE = "smooth_l1"
     b.BBOX_REG_LOSS_WEIGHT = 1.0
@@ -310,6 +319,7 @@ def get_cfg() -> ConfigNode:
     i.RANDOM_SCALE = False  # uniform scale sampling vs area priors (:386-398)
     i.RANDOM_SCALE_MIN = 0.1
     i.RANDOM_SCALE_MAX = 2.0
+    i.RANDOM_SCALE_MIN_SIZE = 5  # reject pastes smaller than this (:392)
     i.AREA_PRIOR_PATH = "datasets/metadata/area_mean_std2.json"
     i.PASTE_MAX_INST = 20
     i.BLANK_RATIO = 0.0
@@ -403,4 +413,186 @@ def get_cfg() -> ConfigNode:
     p.MODEL_PARALLEL = 1
     p.REMAT = False  # jax.checkpoint the backbone
 
+    _declare_reference_aliases(c)
+    import builtins  # noqa: F401  (object.__setattr__ below bypasses freeze)
+
+    object.__setattr__(c, "_post_merge", normalize_reference_aliases)
     return c
+
+
+# --------------------------------------------------------------------------
+# Reference flat-key aliases: the actual DiverGen/BSGAL YAMLs use FLAT names
+# (MODEL.ACTIVE_GRAD_COMPARE, SOLVER.MODEL_EMA, INPUT.USE_COPY_METHOD, …)
+# where this tree nests them. Declaring the aliases lets those YAMLs merge;
+# ``normalize_reference_aliases`` (run after every merge_from_file) copies
+# any alias that was CHANGED from its reference default onto the canonical
+# key, so the settings actually take effect.
+# --------------------------------------------------------------------------
+
+# (alias path, reference default, canonical path or transform)
+_REF_ALIASES = [
+    ("SOLVER.MODEL_EMA", 0.0, "MODEL.MODEL_EMA"),
+    ("MODEL.ACTIVE_MODE", "paste_or_zero", "MODEL.ACTIVE.MODE"),
+    ("MODEL.ACTIVE_COMPARE", "default", "MODEL.ACTIVE.COMPARE"),
+    ("MODEL.ACTIVE_GRAD_COMPARE", False, "MODEL.ACTIVE.GRAD_COMPARE"),
+    ("MODEL.ACTIVE_FORWARD_ONCE", False, "MODEL.ACTIVE.FORWARD_ONCE"),
+    ("MODEL.ACTIVE_ONCE_MODE", "only_gt", "MODEL.ACTIVE.ONCE_MODE"),
+    ("MODEL.ACTIVE_TEST_BATCHSIZE", 4, "MODEL.ACTIVE.PROBE_BATCH"),
+    ("MODEL.ACTIVE_LR", 0.0001, "MODEL.ACTIVE.INNER_LR"),
+    ("MODEL.ACTIVE_OPTIMIZER_MODE", "sgd", "MODEL.ACTIVE.OPTIMIZER"),
+    ("MODEL.ACTIVE_ONLY_GT_TRAIN", False, "MODEL.ACTIVE.ONLY_GT_TRAIN"),
+    ("INPUT.USE_COPY_METHOD", "both", "INPUT.COPY_METHOD"),
+    ("INPUT.INST_POOL_SAMPLE_TYPE", "random", "INPUT.INST_POOL_SAMPLE_STRATEGY"),
+    ("INPUT.SCP_TYPE", "", "INPUT.SELF_COPY_MODE"),
+    ("INPUT.SCP_SELECT_CATS_LIST", [], "INPUT.SELF_COPY_CLS"),
+    ("INPUT.SCP_RFS", False, "INPUT.USE_RFS"),
+    ("INPUT.INST_POOL_MAX_SAMPLES", 20, "INPUT.PASTE_MAX_INST"),
+    ("INPUT.INST_POOL_FILTER_VAL", False, "INPUT.FILTER_VAL"),
+    ("INPUT.MEAN_STD2_PATH", "datasets/metadata/area_mean_std2.json",
+     "INPUT.AREA_PRIOR_PATH"),
+    ("INPUT.COLOR_AUG", False, "INPUT.USE_COLOR_JITTER"),
+    ("INPUT.COLOR_JITTER_FREQ_FILTER", ["r"], "INPUT.COLOR_JITTER_FREQ"),
+    ("INPUT.ONLY_RC", False, "INPUT.RC_ONLY"),
+]
+
+# merge-compat only: reference research switches without a canonical
+# counterpart here (torch-side toggles, save/debug paths); enumerated in
+# tests/test_config.py::DECLARED_ONLY with reasons
+_REF_DECLARED_ONLY = [
+    ("MODEL.ACTIVE_LOSS", "cls"),
+    ("MODEL.ACTIVE_LOSS_UPDATE", "all"),
+    ("MODEL.ACTIVE_SEED", 0),
+    ("MODEL.ACTIVE_TEST", "select"),
+    ("MODEL.ACTIVE_TEST_INS", "one"),
+    ("MODEL.ACTIVE_OPTIMIZER", True),
+    ("MODEL.ACTIVE_PRED", False),
+    ("MODEL.ACTIVE_PRED_CHOOSE", ""),
+    ("MODEL.ACTIVE_PRED_SUP", "all"),
+    ("MODEL.ACTIVE_ONLY_GT_TEST", False),
+    ("MODEL.ACTIVE_GRAD_NORM", True),
+    ("MODEL.ACTIVE_GRAD_SAVE", False),
+    ("MODEL.ACTIVE_EVAL", False),
+    ("MODEL.ACTIVE_DYNAMIC_THRES", 0.0),
+    ("MODEL.ONLY_PASTE_SUP", False),
+    ("MODEL.ENABLE_STATIC_GRAPH", False),  # DDP knob; everything is static here
+    ("MODEL.FREEZE_MODEL", False),
+    ("MODEL.NOT_FREEZE_LIST", []),
+    ("MODEL.ROI_HEADS.SEG_IN_FEATURE", "p3"),
+    ("MODEL.ROI_BOX_HEAD.USE_EQL_LOSS", False),
+    ("MODEL.ROI_BOX_HEAD.EQL_FREQ_CAT", 200),
+    ("MODEL.REFINE_MASK.SEMANTIC_OUT_STRIDE", 4),
+    ("MODEL.CENTERNET.FREEZE_BACKBONE", False),
+    ("MODEL.CENTERNET.NO_REDUCE", False),
+    ("MODEL.VIT.USE_CHECKPOINT", False),
+    ("INPUT.INST_POOL_FORMAT", "RGBA"),
+    ("INPUT.INST_POOL_ORDER_SEED", 0),
+    ("INPUT.INST_POOL_FIX_ORDER_SEED", False),
+    ("INPUT.INST_POOL_AREA_CERTAINTY", False),
+    ("INPUT.INST_POOL_AREA_STD_THRES", 0.0),
+    ("INPUT.RANDOM_ROTATE", False),
+    ("INPUT.ROTATE_SRC", False),
+    ("INPUT.ACTIVE_SELECT_TYPE", "train"),
+    ("INPUT.TRANSITION_MATRIX_PATH", ""),
+    ("INPUT.COLOR_JITTER_APPLY_TYPE", "syn"),
+    ("INPUT.COLOR_JITTER_USE_TORCHVISION", False),
+    ("INPUT.INSTABOOST_APPLY_TYPE", "syn"),
+    ("INPUT.INSTABOOST_FREQ", ["r", "c", "f"]),
+    ("INPUT.INP_ANNO", ""),
+    ("INPUT.INP_ROOT", ""),
+    ("INPUT.INP_ROTATE_LIMIT", False),
+    ("INPUT.LIMIT_SRC_LSJ", False),
+    ("INPUT.SCP_NUM_SRC", 1),
+    ("INPUT.SCP_SRC_OBJ_SELECT", True),
+    ("INPUT.SELECT_CATS_LIST", []),
+    ("INPUT.USE_SCP", True),
+    ("INPUT.USE_IMGNET", False),  # set by the flagship YAML, read NOWHERE
+    #  in the reference either
+    ("DATALOADER.DATASET_INPUT_SCALE", []),
+    ("DATALOADER.DATASET_INPUT_SIZE", []),
+    ("DATALOADER.DATASET_MAX_SIZES", []),
+    ("DATALOADER.DATASET_MIN_SIZES", []),
+    ("DATASETS.SEMANTIC_ROOT", ""),
+    ("DATASETS.VAL", ()),
+    ("DATASETS.SAVE_LOGITS", False),
+    ("SAVE_DEBUG_PATH", ""),
+    ("EVAL_PRED_AR", False),
+    ("TEST.ANALYSE", False),
+    ("TEST.GEN_DATASET", False),
+    ("USE_LARGEST_PART", True),
+]
+
+
+def _get_path(cfg, path):
+    node = cfg
+    for part in path.split("."):
+        node = node[part]
+    return node
+
+
+def _set_path(cfg, path, value):
+    parts = path.split(".")
+    node = cfg
+    for part in parts[:-1]:
+        node = node[part]
+    node[parts[-1]] = value
+
+
+def _declare_reference_aliases(c: ConfigNode) -> None:
+    # nested blocks referenced by the declared-only keys
+    c.MODEL.REFINE_MASK = ConfigNode()
+    c.MODEL.DETR = ConfigNode()  # vendored Deformable-DETR config surface;
+    # no published DiverGen/BSGAL recipe instantiates the DETR meta-arch
+    for k, v in dict(
+        CLS_WEIGHT=2.0, DEC_LAYERS=6, DEEP_SUPERVISION=True,
+        DIM_FEEDFORWARD=2048, DROPOUT=0.1, ENC_LAYERS=6, FOCAL_ALPHA=0.25,
+        FROZEN_WEIGHTS="", GIOU_WEIGHT=2.0, HIDDEN_DIM=256, L1_WEIGHT=5.0,
+        NHEADS=8, NO_OBJECT_WEIGHT=0.1, NUM_CLASSES=80, NUM_FEATURE_LEVELS=4,
+        NUM_OBJECT_QUERIES=300, PRE_NORM=False, TWO_STAGE=False,
+        USE_FED_LOSS=False, WEAK_WEIGHT=0.1, WITH_BOX_REFINE=False,
+    ).items():
+        c.MODEL.DETR[k] = v
+    # CenterNet2 real-time backbones (centernet/config.py): BIFPN drives the
+    # BiFPN neck in build_model; DLA selects the DLA-34 bottom-up
+    bf = c.MODEL.BIFPN = ConfigNode()
+    bf.NUM_LEVELS = 5
+    bf.NUM_BIFPN = 4
+    bf.NORM = "GN"
+    bf.OUT_CHANNELS = 160
+    bf.SEPARABLE_CONV = False
+    dla = c.MODEL.DLA = ConfigNode()
+    dla.NUM_LAYERS = 34
+    dla.NORM = "BN"
+    dla.USE_DLA_UP = True
+    dla.DLAUP_IN_FEATURES = ["dla3", "dla4", "dla5"]
+    dla.DLAUP_NODE = "conv"
+    dla.MS_OUTPUT = False
+    dla.OUT_FEATURES = ["dla2"]
+    for path, default, _canonical in _REF_ALIASES:
+        _set_path(c, path, default)
+    for path, default in _REF_DECLARED_ONLY:
+        _set_path(c, path, default)
+    # grad-bank update spec: "AVERAGE" | "MOMENTUM<x>" (bsgal config.py:72)
+    c.MODEL.ACTIVE_GRAD_UPDATE = "AVERAGE"
+
+
+def normalize_reference_aliases(cfg: ConfigNode) -> None:
+    """Copy reference-named settings onto the canonical keys (post-merge)."""
+    for path, default, canonical in _REF_ALIASES:
+        try:
+            val = _get_path(cfg, path)
+        except KeyError:
+            continue
+        if val != default:
+            _set_path(cfg, canonical, val)
+    try:
+        gu = cfg.MODEL.ACTIVE_GRAD_UPDATE
+        if isinstance(gu, str) and gu.upper().startswith("MOMENTUM"):
+            cfg.MODEL.ACTIVE.MOMENTUM = float(gu[len("MOMENTUM"):])
+    except KeyError:
+        pass
+    try:
+        # the reference enables active selection from the INPUT side
+        if cfg.INPUT.ACTIVE_SELECT:
+            cfg.MODEL.ACTIVE.ENABLED = True
+    except KeyError:
+        pass

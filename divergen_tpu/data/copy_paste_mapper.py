@@ -52,6 +52,7 @@ class CopyPasteMapper:
                 random_scale=cfg.INPUT.RANDOM_SCALE,
                 random_scale_min=cfg.INPUT.RANDOM_SCALE_MIN,
                 random_scale_max=cfg.INPUT.RANDOM_SCALE_MAX,
+                random_scale_min_size=cfg.INPUT.RANDOM_SCALE_MIN_SIZE,
             )
         self.dataset: Optional[List[dict]] = None
         self.color_jitter = None

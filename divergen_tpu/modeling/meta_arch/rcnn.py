@@ -51,6 +51,8 @@ class CustomRCNN(nn.Module):
     fused_swin_attn: bool = False
     with_image_labels: bool = False
     dataset_loss_weight: Tuple[float, ...] = ()
+    fpn_kind: str = "fpn"  # fpn | bifpn (CenterNet2 real-time configs)
+    num_bifpn: int = 3
 
     def setup(self):
         if self.backbone_name.startswith("res2net"):
@@ -81,6 +83,13 @@ class CustomRCNN(nn.Module):
                 remat=self.remat_backbone, fused_attn=self.fused_swin_attn,
                 name="bottom_up",
             )
+        elif self.backbone_name == "dla34":
+            from ..backbone.dla import DLA34
+
+            body = DLA34(
+                out_features=self.fpn_in_features, dtype=self.compute_dtype,
+                name="bottom_up",
+            )
         elif self.backbone_name == "convnext":
             from ..backbone.convnext import ConvNeXt
 
@@ -103,16 +112,25 @@ class CustomRCNN(nn.Module):
             raise ValueError(f"unknown backbone {self.backbone_name}")
         self.body = body
         # ViTDet's SimpleFeaturePyramid already emits p2..p7 — no lateral FPN
-        self.fpn = (
-            None
-            if self.backbone_name == "vitdet"
-            else FPN(
+        if self.backbone_name == "vitdet":
+            self.fpn = None
+        elif self.fpn_kind == "bifpn":
+            from ..backbone.bifpn import BiFPN
+
+            self.fpn = BiFPN(
+                in_features=self.fpn_in_features,
+                out_channels=self.fpn_out_channels,
+                num_layers=self.num_bifpn,
+                dtype=self.compute_dtype,
+                name="fpn",
+            )
+        else:
+            self.fpn = FPN(
                 in_features=self.fpn_in_features,
                 out_channels=self.fpn_out_channels,
                 dtype=self.compute_dtype,
                 name="fpn",
             )
-        )
         self.centernet_head = CenterNetHead(
             self.centernet_cfg, dtype=self.compute_dtype, name="centernet_head"
         )
@@ -371,6 +389,12 @@ def build_model(cfg) -> CustomRCNN:
         backbone = f"res2net{cfg.MODEL.RESNETS.DEPTH}"
         fpn_in = ("res3", "res4", "res5")
         swin_size = "T"
+    elif "dla" in name.lower():
+        # CenterNet2 real-time configs (build_dla_backbone +
+        # build_p37_dla_bifpn_backbone, centernet/modeling/backbone/)
+        backbone = "dla34"
+        fpn_in = ("dla3", "dla4", "dla5")
+        swin_size = "T"
     else:
         backbone = f"resnet{cfg.MODEL.RESNETS.DEPTH}"
         fpn_in = ("res3", "res4", "res5")
@@ -382,12 +406,17 @@ def build_model(cfg) -> CustomRCNN:
     cls = CenterNetDetector if arch == "CenterNetDetector" else CustomRCNN
     if arch == "CenterNetDetector":
         cn_cfg = dataclasses.replace(cn_cfg, only_proposal=False)
+    use_bifpn = "bifpn" in name.lower()
     return cls(
         centernet_cfg=cn_cfg,
         roi_cfg=roi_cfg,
         backbone_name=backbone,
         fpn_in_features=fpn_in,
-        fpn_out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
+        fpn_kind="bifpn" if use_bifpn else "fpn",
+        num_bifpn=cfg.MODEL.BIFPN.NUM_BIFPN,
+        fpn_out_channels=(
+            cfg.MODEL.BIFPN.OUT_CHANNELS if use_bifpn else cfg.MODEL.FPN.OUT_CHANNELS
+        ),
         roi_head_name=cfg.MODEL.ROI_HEADS.NAME,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),

@@ -130,11 +130,13 @@ class ROIHeadsConfig:
             score_thresh_test=r.SCORE_THRESH_TEST,
             nms_thresh_test=r.NMS_THRESH_TEST,
             detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
-            mult_proposal_score=r.MULT_PROPOSAL_SCORE,
+            mult_proposal_score=b.MULT_PROPOSAL_SCORE,
             one_class_per_proposal=r.ONE_CLASS_PER_PROPOSAL,
             add_gt_to_proposals=r.PROPOSAL_APPEND_GT,
-            divergen_box_loss=cfg.MODEL.get("USE_DIVERGEN_BOX_LOSS", True),
-            divergen_mask_loss=cfg.MODEL.get("USE_DIVERGEN_MASK_LOSS", True),
+            divergen_box_loss=cfg.MODEL.get("USE_DIVERGEN_BOX_LOSS", True)
+            and cfg.MODEL.get("USE_XPASTE_BOX_LOSS", True),
+            divergen_mask_loss=cfg.MODEL.get("USE_DIVERGEN_MASK_LOSS", True)
+            and cfg.MODEL.get("USE_XPASTE_MASK_LOSS", True),
             norm_temp=b.NORM_TEMP,
             use_zeroshot_cls=b.USE_ZEROSHOT_CLS,
             with_image_labels=cfg.WITH_IMAGE_LABELS,

@@ -227,3 +227,35 @@ def test_standalone_centernet_detector():
     assert dets["classes"].shape == (B, 16)
     assert set(np.asarray(dets["classes"]).ravel().tolist()) <= set(range(4))
     assert np.isfinite(np.asarray(dets["scores"])).all()
+
+
+@pytest.mark.slow
+def test_dla_bifpn_detector():
+    """CenterNet2 real-time backbone pair: DLA-34 bottom-up + BiFPN neck
+    (build_dla_bifpn_backbone, centernet/modeling/backbone/)."""
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.NAME = "build_dla_bifpn_backbone"
+    cfg.MODEL.CENTERNET.NUM_CLASSES = 4
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.CENTERNET.PRE_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.CENTERNET.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.ROI_MASK_HEAD.GT_SIDE = 16
+    cfg.MODEL.BIFPN.NUM_BIFPN = 1
+    model = build_model(cfg)
+    assert model.fpn_kind == "bifpn" and model.backbone_name == "dla34"
+    B, H, N = 1, 128, 4
+    imgs = jnp.zeros((B, H, H, 3), jnp.float32)
+    sizes = jnp.asarray([[H, H]], jnp.int32)
+    gt = {"boxes": jnp.asarray([[[8.0, 8, 60, 60]] * N]),
+          "classes": jnp.zeros((B, N), jnp.int32),
+          "valid": jnp.asarray([[True] + [False] * (N - 1)]),
+          "masks": jnp.ones((B, N, 16, 16), jnp.float32),
+          "instance_source": jnp.zeros((B, N), jnp.int32)}
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda: model.init(key, imgs, sizes, gt=gt, rng=key, training=True)
+    )()
+    losses = model.apply(params, imgs, sizes, gt=gt, rng=key, training=True)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
