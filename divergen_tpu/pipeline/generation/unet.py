@@ -232,7 +232,16 @@ class TransformerBlock(nn.Module):
         from ...ops.pallas.flash_attention import flash_attention_packed
 
         qkv = dense(3 * c, "attn1_qkv", use_bias=False)(y)
-        x = x + dense(c, "attn1_out")(flash_attention_packed(qkv, self.heads))
+        # escape hatch for hardware triage: DIVERGEN_PACKED_ATTN=0 routes
+        # the fused projection through the proven (BH, N, D) flash kernel
+        # instead of the packed BlockSpec path (same math, adds transposes)
+        import os as _os
+
+        if _os.environ.get("DIVERGEN_PACKED_ATTN", "1") == "0":
+            q1, k1, v1 = jnp.split(qkv, 3, axis=-1)
+            x = x + dense(c, "attn1_out")(_attention(q1, k1, v1, self.heads))
+        else:
+            x = x + dense(c, "attn1_out")(flash_attention_packed(qkv, self.heads))
         y = norm("norm2")(x)
         q = dense(c, "attn2_q", use_bias=False)(y)
         kv = dense(2 * c, "attn2_kv", use_bias=False)(context)
