@@ -495,7 +495,9 @@ _REF_DECLARED_ONLY = [
     ("INPUT.TRANSITION_MATRIX_PATH", ""),
     ("INPUT.COLOR_JITTER_APPLY_TYPE", "syn"),
     ("INPUT.COLOR_JITTER_USE_TORCHVISION", False),
-    ("INPUT.INSTABOOST_APPLY_TYPE", "syn"),
+    # consumed by CopyPasteMapper's functional InstaBoost port; reference
+    # defaults (divergen/config.py:171-173)
+    ("INPUT.INSTABOOST_APPLY_TYPE", "both"),
     ("INPUT.INSTABOOST_FREQ", ["r", "c", "f"]),
     ("INPUT.INP_ANNO", ""),
     ("INPUT.INP_ROOT", ""),

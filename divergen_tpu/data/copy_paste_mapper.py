@@ -68,10 +68,29 @@ class CopyPasteMapper:
             self.color_jitter = PhotoMetricDistortion(
                 cid_to_freq, tuple(cfg.INPUT.COLOR_JITTER_FREQ)
             )
+        self.instaboost = None
+        self.instaboost_src = self.instaboost_dst = False
         if cfg.INPUT.USE_INSTABOOST:
-            # instaboostfast is not in this image; the reference gates it the
-            # same way (custom_build_copypaste_mapper.py:596-666)
-            raise NotImplementedError("instaboost requires the instaboostfast package")
+            # functional port of the instaboostfast transform subset the
+            # reference configures (custom_build_copypaste_mapper.py:596-708)
+            import json
+            import os
+
+            from .instaboost import InstaBoost
+
+            cid_to_freq = {}
+            p = cfg.MODEL.ROI_BOX_HEAD.CAT_FREQ_PATH
+            if p and os.path.exists(p):
+                with open(p) as f:
+                    cid_to_freq = {c["id"] - 1: c["frequency"] for c in json.load(f)}
+            self.instaboost = InstaBoost(
+                cid_to_freq=cid_to_freq,
+                apply_freq=tuple(cfg.INPUT.INSTABOOST_FREQ),
+            )
+            apply_type = cfg.INPUT.INSTABOOST_APPLY_TYPE
+            assert apply_type in ("both", "src", "dst"), apply_type
+            self.instaboost_src = apply_type in ("both", "src")
+            self.instaboost_dst = apply_type in ("both", "dst")
 
     def set_dataset(self, dataset: Sequence[dict]) -> None:
         """Raw records for self-copy source sampling (mapper.set_dataset,
@@ -167,7 +186,12 @@ class CopyPasteMapper:
         if not idxs:
             return out
         try:
-            src = self.mapper(self.dataset[idxs[0]], rng)
+            src_rec = self.dataset[idxs[0]]
+            if self.instaboost_src:
+                # jitter the SOURCE image's instances before cutting patches
+                # (reference src path, custom_build_copypaste_mapper.py:699-706)
+                src_rec = self.instaboost(src_rec, rng)
+            src = self.mapper(src_rec, rng)
         except FileNotFoundError:
             return out
         valid_idx = np.where(src["gt"]["valid"])[0]
@@ -234,6 +258,10 @@ class CopyPasteMapper:
 
     def __call__(self, record: dict, rng: Optional[np.random.Generator] = None) -> dict:
         rng = rng or np.random.default_rng()
+        if self.instaboost_dst:
+            # jitter the destination image's own instances before mapping
+            # (reference __call__ head, custom_build_copypaste_mapper.py:858-862)
+            record = self.instaboost(record, rng)
         sample = self.mapper(record, rng)
         if self.color_jitter is not None:
             sample = self.color_jitter(sample, rng)

@@ -105,7 +105,10 @@ class DatasetMapper:
 
     def __call__(self, record: dict, rng: Optional[np.random.Generator] = None) -> dict:
         rng = rng or np.random.default_rng()
-        img = read_image(record["file_name"]).astype(np.uint8)
+        # instaboost leaves its augmented pixels on the record
+        # (ref dataset_mapper.py:155-156 'image_new')
+        img = (record["image_new"] if "image_new" in record
+               else read_image(record["file_name"])).astype(np.uint8)
         img_aug, tfms = apply_augmentations(self.augs, img, rng)
         h, w = img_aug.shape[:2]
         canvas = self.canvas

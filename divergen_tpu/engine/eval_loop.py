@@ -148,9 +148,14 @@ def do_test(cfg, model=None, state: Optional[TrainState] = None, resume: bool = 
             # (ref train_net.py:89-93 reset_cls_test): in zero-shot mode
             # every other head param is class-agnostic, so a rebuilt module
             # with the new class count reuses the same params
-            from ..modeling.meta_arch.rcnn import reset_cls_test
+            from ..modeling.meta_arch.rcnn import load_zs_weight, reset_cls_test
 
-            w = np.load(cfg.MODEL.TEST_CLASSIFIERS[d])
+            # reference files are (C, zs_dim) on disk, transposed on load
+            # (modeling/utils.py:40-43)
+            w = load_zs_weight(
+                cfg.MODEL.TEST_CLASSIFIERS[d],
+                zs_dim=cfg.MODEL.ROI_BOX_HEAD.ZEROSHOT_WEIGHT_DIM,
+            )
             n_cls = int(cfg.MODEL.TEST_NUM_CLASSES[d]) if cfg.MODEL.TEST_NUM_CLASSES else w.shape[1]
             assert w.shape[1] == n_cls, (w.shape, n_cls)
             test_cfg = cfg.clone().defrost()

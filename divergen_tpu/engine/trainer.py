@@ -204,9 +204,13 @@ def do_train(cfg, resume: bool = False, max_steps: Optional[int] = None) -> Trai
     if cfg.MODEL.ROI_BOX_HEAD.USE_ZEROSHOT_CLS and zs_path and zs_path != "rand":
         # load the CLIP-text classifier into the zs_weight params
         # (ZeroShotClassifier init, detic_fast_rcnn.py / zero_shot_classifier)
-        from ..modeling.meta_arch.rcnn import reset_cls_test
+        from ..modeling.meta_arch.rcnn import load_zs_weight, reset_cls_test
 
-        params = reset_cls_test(params, np.load(zs_path))
+        # reference files are (C, zs_dim) on disk (modeling/utils.py:40-43)
+        params = reset_cls_test(
+            params,
+            load_zs_weight(zs_path, zs_dim=cfg.MODEL.ROI_BOX_HEAD.ZEROSHOT_WEIGHT_DIM),
+        )
     n_params = sum(p.size for p in jax.tree.leaves(params))
     logger.info("model parameters: %.2fM", n_params / 1e6)
 

@@ -432,6 +432,25 @@ def build_model(cfg) -> CustomRCNN:
     )
 
 
+def load_zs_weight(path, zs_dim=None):
+    """Load a zero-shot classifier .npy and return it (zs_dim, C).
+
+    Reference-published metadata files are stored (C, zs_dim) and the
+    reference transposes on load (zero_shot_classifier.py:38-41 /
+    modeling/utils.py:40-43 ``permute(1, 0)``); files written by
+    tools/build_zs_weights.py follow the same on-disk layout. When
+    ``zs_dim`` is given, a file already stored (zs_dim, C) is detected and
+    passed through; the ambiguous square case follows the reference
+    (transpose)."""
+    import numpy as np
+
+    w = np.asarray(np.load(path), np.float32)
+    assert w.ndim == 2, f"zs classifier {path}: expected 2-D, got {w.shape}"
+    if zs_dim is not None and w.shape[0] == zs_dim and w.shape[1] != zs_dim:
+        return w  # already (zs_dim, C)
+    return w.T
+
+
 def reset_cls_test(params, zs_weight, stages=3):
     """Swap the zero-shot classifier vocabulary at test time
     (divergen/modeling/utils.py:32 reset_cls_test; used per test set at

@@ -50,6 +50,7 @@ class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     dtype: Any = jnp.float32
+    act: str = "quick_gelu"  # openai CLIP; "gelu" = OpenCLIP bigG (SDXL tower 2)
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
@@ -57,7 +58,7 @@ class ResidualAttentionBlock(nn.Module):
         x = x + MultiHeadAttention(self.width, self.heads, self.dtype, name="attn")(y, mask)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         y = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_c_fc")(y)
-        y = quick_gelu(y)
+        y = quick_gelu(y) if self.act == "quick_gelu" else jax.nn.gelu(y, approximate=False)
         return x + nn.Dense(self.width, dtype=self.dtype, name="mlp_c_proj")(y)
 
 
@@ -71,6 +72,7 @@ class CLIPText(nn.Module):
     heads: int = 12
     layers: int = 12
     dtype: Any = jnp.float32
+    act: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, tokens: Array, return_sequence: bool = False,
@@ -94,9 +96,9 @@ class CLIPText(nn.Module):
         for i in range(self.layers):
             if i == self.layers - 1:
                 hidden = x  # penultimate hidden states
-            x = ResidualAttentionBlock(self.width, self.heads, self.dtype, name=f"resblock{i}")(
-                x, mask
-            )
+            x = ResidualAttentionBlock(
+                self.width, self.heads, self.dtype, act=self.act, name=f"resblock{i}"
+            )(x, mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
         proj = self.param(
             "text_projection", nn.initializers.normal(self.width**-0.5),
@@ -164,6 +166,20 @@ def build_clip(name: str = "ViT-L/14", image_size: int = 224, dtype=jnp.float32
     )
     text = CLIPText(embed_dim=embed, width=tw, heads=th, layers=tl, dtype=dtype)
     return vision, text
+
+
+def build_sdxl_text_towers(dtype=jnp.float32) -> Tuple[CLIPText, CLIPText]:
+    """The two SDXL conditioning towers (reference generation stage:
+    ``txt2img_diffusers_stages_from_txt.py:242`` ``encode_prompt``):
+    CLIP ViT-L/14 text (768-wide, QuickGELU) and OpenCLIP ViT-bigG/14 text
+    (1280-wide, exact GELU, 1280-d projection). SDXL conditions on the
+    concatenated PENULTIMATE hidden states (768+1280=2048) and on bigG's
+    projected EOT embedding (1280) for the pooled add-embedding."""
+    clip_l = CLIPText(embed_dim=768, width=768, heads=12, layers=12, dtype=dtype)
+    big_g = CLIPText(
+        embed_dim=1280, width=1280, heads=20, layers=32, dtype=dtype, act="gelu"
+    )
+    return clip_l, big_g
 
 
 def preprocess_images(images: Array) -> Array:

@@ -127,12 +127,18 @@ class SimpleTokenizer:
             )
         return tokens
 
-    def tokenize(self, texts: Sequence[str], context_length: int = 77) -> np.ndarray:
+    def tokenize(self, texts: Sequence[str], context_length: int = 77,
+                 pad_id: int = 0) -> np.ndarray:
         """clip.tokenize parity: SOT + bpe + EOT, truncate (keeping EOT),
-        zero-pad, (B, context_length) int32."""
+        pad with ``pad_id``, (B, context_length) int32.
+
+        pad_id=0 is the openai-clip/OpenCLIP convention (SDXL tokenizer_2);
+        SDXL's first tokenizer (CLIP-L, diffusers) pads with the EOT id —
+        padded positions feed the UNet conditioning, so the convention
+        matters for output parity."""
         if isinstance(texts, str):
             texts = [texts]
-        out = np.zeros((len(texts), context_length), np.int32)
+        out = np.full((len(texts), context_length), pad_id, np.int32)
         for i, t in enumerate(texts):
             ids = [self.sot] + self.encode(t) + [self.eot]
             if len(ids) > context_length:

@@ -109,10 +109,21 @@ def _kernel_fq(x_ref, wq_ref, ws_ref, o_ref):
     o_ref[:] = (acc.astype(jnp.float32) * scale * ws_ref[:]).astype(o_ref.dtype)
 
 
+# block candidates for the fused-quant path: every candidate must stay a
+# divisor after capping (a plain min(_pick_block(m), 512) turns 640 into 512,
+# which doesn't divide m=640/1280/... and the grid would floor-drop the tail)
+_FQ_M_BLOCKS = (512, 256, 128)
+_FQ_N_BLOCKS = (1024, 640, 512, 256, 128)
+
+
 def supported_fused_quant(m: int, k: int, n: int) -> bool:
     # K is unblocked (whole extent in VMEM): (bm, K) bf16 + (K, bn) int8
     # must fit comfortably; SDXL transformer K <= 2560
-    return bool(_pick_block(m) and _pick_block(n)) and k % 128 == 0 and k <= 4096
+    return (
+        bool(_pick_block(m, _FQ_M_BLOCKS) and _pick_block(n, _FQ_N_BLOCKS))
+        and k % 128 == 0
+        and k <= 4096
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -125,8 +136,8 @@ def int8_matmul_fused_quant(
 ) -> Array:
     m, k = x.shape
     _, n = w_q.shape
-    bm = min(_pick_block(m), 512)
-    bn = min(_pick_block(n), 1024)
+    bm = _pick_block(m, _FQ_M_BLOCKS)
+    bn = _pick_block(n, _FQ_N_BLOCKS)
     grid = (m // bm, n // bn)
     return pl.pallas_call(
         _kernel_fq,

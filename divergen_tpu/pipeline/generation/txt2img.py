@@ -34,6 +34,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dist", action="store_true", default=False)
     p.add_argument("--ckpt_dir", type=str, default="")
     p.add_argument("--unet_ckpt", type=str, default="")
+    p.add_argument("--text_ckpt_l", type=str, default="",
+                   help="SDXL text tower 1 (CLIP ViT-L/14, HF or openai layout)")
+    p.add_argument("--text_ckpt_g", type=str, default="",
+                   help="SDXL text tower 2 (OpenCLIP ViT-bigG/14 w/ projection)")
+    p.add_argument("--vae_ckpt", type=str, default="",
+                   help="diffusers AutoencoderKL checkpoint (decoder weights)")
+    p.add_argument("--bpe_path", type=str, default="",
+                   help="CLIP BPE merges file for the tokenizer")
     p.add_argument("--stages", type=str, nargs="+", default=["XL"])
     p.add_argument("--offset", type=int, default=0)
     p.add_argument("--disable_overwrite", action="store_true", default=False)
@@ -99,7 +107,14 @@ def _build_pipeline(args):
         unet_params = jax.jit(
             lambda: float_unet.init(rng, lat, jnp.zeros((1,)), ctx, pooled, tids)
         )()
-    vae_params = jax.jit(lambda: vae.init(rng, jnp.zeros((1, h, h, 4))))()
+    if getattr(args, "vae_ckpt", ""):
+        from ...utils.torch_weights import load_sdxl_vae_params
+
+        vae_params = load_sdxl_vae_params(
+            args.vae_ckpt, n_levels=len(vae.channels)
+        )
+    else:
+        vae_params = jax.jit(lambda: vae.init(rng, jnp.zeros((1, h, h, 4))))()
     mesh = None
     if getattr(args, "data_parallel", False) and len(jax.devices()) > 1:
         import numpy as _np
@@ -170,9 +185,33 @@ def main(argv=None) -> int:
     if "x4" in args.stages:
         upscaler, up_dir = _build_upscaler(args)
         os.makedirs(up_dir, exist_ok=True)
-    uncond = encode_prompts_random([""], ctx_dim)
+
+    # real dual-tower conditioning (ref txt2img...from_txt.py:242
+    # encode_prompt) when the tower checkpoints are given; tiny random
+    # towers exercise the same code path in smoke mode; otherwise the
+    # hash-embedding fallback keeps bare throughput runs cheap
+    encoder = None
+    if args.text_ckpt_l and args.text_ckpt_g:
+        from ...utils.torch_weights import load_sdxl_text_params
+        from .text import SDXLTextEncoder
+
+        encoder = SDXLTextEncoder(
+            load_sdxl_text_params(args.text_ckpt_l),
+            load_sdxl_text_params(args.text_ckpt_g),
+            bpe_path=args.bpe_path,
+        )
+    elif args.tiny:
+        from .text import SDXLTextEncoder
+
+        encoder = SDXLTextEncoder.random(seed=args.seed, tiny=True)
+
     pooled_dim = 1280
     use_pooled = not args.tiny
+    if encoder is not None:
+        unc_ctx, unc_pooled_1 = encoder.encode([""])
+    else:
+        unc_ctx = encode_prompts_random([""], ctx_dim)
+        unc_pooled_1 = None
 
     files = _prompt_files(args.from_file)
     jobs = []  # (category_id, prompt, prompt_idx)
@@ -190,7 +229,11 @@ def main(argv=None) -> int:
 
     n_done = 0
     for cat, prompt, pi in jobs:
-        ctx = encode_prompts_random([prompt], ctx_dim)
+        if encoder is not None:
+            ctx, pooled_1 = encoder.encode([prompt])
+        else:
+            ctx = encode_prompts_random([prompt], ctx_dim)
+            pooled_1 = None
         for start in range(0, per_rank, args.max_batch_size):
             bs = min(args.max_batch_size, per_rank - start)
             counts = [
@@ -205,9 +248,15 @@ def main(argv=None) -> int:
                 jax.random.PRNGKey(args.seed + rank), pi * 100000 + start
             )
             ctx_b = jnp.tile(ctx, (bs, 1, 1))
-            unc_b = jnp.tile(uncond, (bs, 1, 1))
-            pooled = jnp.zeros((bs, pooled_dim)) if use_pooled else None
-            unc_pooled = jnp.zeros((bs, pooled_dim)) if use_pooled else None
+            unc_b = jnp.tile(unc_ctx, (bs, 1, 1))
+            if use_pooled:
+                pooled = (jnp.tile(pooled_1, (bs, 1)) if pooled_1 is not None
+                          else jnp.zeros((bs, pooled_dim)))
+                unc_pooled = (jnp.tile(unc_pooled_1, (bs, 1))
+                              if unc_pooled_1 is not None
+                              else jnp.zeros((bs, pooled_dim)))
+            else:
+                pooled = unc_pooled = None
             imgs = pipe.generate(
                 rng, ctx_b, unc_b, pooled, unc_pooled,
                 height=args.height, width=args.width,

@@ -76,7 +76,10 @@ class _ChannelMomentGN(nn.Module):
         g2 = jnp.mean(s2.reshape(b, g, c // g), axis=-1)
         gv = g2 - gm * gm
         mean_c = jnp.repeat(gm, c // g, axis=-1)  # (B, C)
-        inv_c = jnp.repeat(jax.lax.rsqrt(gv + 1e-5), c // g, axis=-1)
+        # diffusers UNet/VAE GroupNorms all use eps=1e-6 (torch nn.GroupNorm
+        # default is 1e-5 — a real parity deviation, same class as the
+        # LayerNorm eps bugs round-2 parity caught)
+        inv_c = jnp.repeat(jax.lax.rsqrt(gv + 1e-6), c // g, axis=-1)
         y = (xf - mean_c[:, None, None, :]) * inv_c[:, None, None, :]
         return (y * scale + bias).astype(self.dtype)
 

@@ -489,6 +489,167 @@ def load_sdxl_unet_params(path: str, unet) -> Dict:
     return convert_sdxl_unet(sd, unet)
 
 
+# ---------------- HF/transformers CLIPTextModel (SDXL text towers) --------
+def convert_hf_clip_text(sd: Dict[str, np.ndarray], prefix: str = "text_model.") -> Dict:
+    """HF ``CLIPTextModel(WithProjection)`` state dict → ``CLIPText`` params.
+
+    The SDXL checkpoints ship their towers in transformers layout
+    (``text_model.encoder.layers.N.self_attn.{q,k,v}_proj`` etc. — the
+    reference loads them via ``StableDiffusionXLPipeline.from_pretrained``,
+    ``txt2img_diffusers_stages_from_txt.py:136-198``); openai-layout
+    checkpoints go through :func:`convert_clip_text` instead. The separate
+    q/k/v projections concat into our fused ``in_proj`` (q|k|v order)."""
+    p: Dict[str, Any] = {}
+    emb = f"{prefix}embeddings."
+    p["token_embedding"] = {"embedding": sd[f"{emb}token_embedding.weight"]}
+    p["positional_embedding"] = sd[f"{emb}position_embedding.weight"]
+    p["ln_final"] = {
+        "scale": sd[f"{prefix}final_layer_norm.weight"],
+        "bias": sd[f"{prefix}final_layer_norm.bias"],
+    }
+    width = sd[f"{emb}token_embedding.weight"].shape[1]
+    if "text_projection.weight" in sd:  # CLIPTextModelWithProjection (bigG)
+        p["text_projection"] = _t_linear(sd["text_projection.weight"])
+    else:
+        # tower 1 (CLIP-L) is used penultimate-hidden-only in SDXL; the
+        # module still owns a projection param — keep it inert
+        p["text_projection"] = np.zeros((width, width), np.float32)
+    i = 0
+    while f"{prefix}encoder.layers.{i}.layer_norm1.weight" in sd:
+        lyr = f"{prefix}encoder.layers.{i}."
+        p[f"resblock{i}"] = {
+            "ln_1": {"scale": sd[lyr + "layer_norm1.weight"],
+                     "bias": sd[lyr + "layer_norm1.bias"]},
+            "ln_2": {"scale": sd[lyr + "layer_norm2.weight"],
+                     "bias": sd[lyr + "layer_norm2.bias"]},
+            "attn": {
+                "in_proj": {
+                    "kernel": np.concatenate(
+                        [_t_linear(sd[lyr + f"self_attn.{w}_proj.weight"])
+                         for w in ("q", "k", "v")], axis=1),
+                    "bias": np.concatenate(
+                        [sd[lyr + f"self_attn.{w}_proj.bias"]
+                         for w in ("q", "k", "v")]),
+                },
+                "out_proj": {
+                    "kernel": _t_linear(sd[lyr + "self_attn.out_proj.weight"]),
+                    "bias": sd[lyr + "self_attn.out_proj.bias"],
+                },
+            },
+            "mlp_c_fc": {"kernel": _t_linear(sd[lyr + "mlp.fc1.weight"]),
+                         "bias": sd[lyr + "mlp.fc1.bias"]},
+            "mlp_c_proj": {"kernel": _t_linear(sd[lyr + "mlp.fc2.weight"]),
+                           "bias": sd[lyr + "mlp.fc2.bias"]},
+        }
+        i += 1
+    return {"params": p}
+
+
+def load_sdxl_text_params(path: str) -> Dict:
+    """Load one SDXL text tower (HF transformers or openai layout)."""
+    sd = load_state_dict(path)
+    if any(k.startswith("text_model.") for k in sd):
+        return convert_hf_clip_text(sd)
+    return convert_clip_text(sd)
+
+
+# ---------------- diffusers AutoencoderKL (SDXL VAE) ----------------------
+def _convert_vae_resblock(sd, src: str) -> Dict:
+    o: Dict[str, Any] = {}
+    for ours, theirs in (("norm1", "norm1"), ("norm2", "norm2")):
+        o[ours] = {"GroupNorm_0": {"scale": sd[f"{src}.{theirs}.weight"],
+                                   "bias": sd[f"{src}.{theirs}.bias"]}}
+    for ours, theirs in (("conv1", "conv1"), ("conv2", "conv2")):
+        o[ours] = {"kernel": _t_conv(sd[f"{src}.{theirs}.weight"]),
+                   "bias": sd[f"{src}.{theirs}.bias"]}
+    if f"{src}.conv_shortcut.weight" in sd:
+        o["shortcut"] = {"kernel": _t_conv(sd[f"{src}.conv_shortcut.weight"]),
+                         "bias": sd[f"{src}.conv_shortcut.bias"]}
+    return o
+
+
+def _convert_vae_attention(sd, src: str) -> Dict:
+    # modern diffusers: group_norm + to_q/to_k/to_v/to_out.0 (Linear);
+    # legacy (<0.16) used query/key/value/proj_attn
+    names = (("to_q", "to_k", "to_v", "to_out.0")
+             if f"{src}.to_q.weight" in sd
+             else ("query", "key", "value", "proj_attn"))
+    o: Dict[str, Any] = {
+        "norm": {"GroupNorm_0": {"scale": sd[f"{src}.group_norm.weight"],
+                                 "bias": sd[f"{src}.group_norm.bias"]}}
+    }
+    for ours, theirs in zip(("q", "k", "v", "proj_out"), names):
+        w = sd[f"{src}.{theirs}.weight"]
+        if w.ndim == 4:  # legacy 1x1-conv layout
+            w = w[:, :, 0, 0]
+        o[ours] = {"kernel": _t_linear(w), "bias": sd[f"{src}.{theirs}.bias"]}
+    return o
+
+
+def convert_sdxl_vae(sd: Dict[str, np.ndarray], n_levels: int = 4,
+                     decoder_only: bool = False) -> Dict:
+    """diffusers ``AutoencoderKL`` state dict → ``VAEDecoder`` params (and
+    ``VAEEncoder`` params unless absent/``decoder_only``).
+
+    Returns ``{"decoder": {...}, "encoder": {...}|None}`` param trees. Our
+    decoder's ``up{lvl}`` enumerates ``reversed(channels)`` (lvl 0 =
+    widest), matching diffusers ``up_blocks.k`` order 1:1."""
+    dec: Dict[str, Any] = {}
+    dec["post_quant_conv"] = {"kernel": _t_conv(sd["post_quant_conv.weight"]),
+                              "bias": sd["post_quant_conv.bias"]}
+    dec["conv_in"] = {"kernel": _t_conv(sd["decoder.conv_in.weight"]),
+                      "bias": sd["decoder.conv_in.bias"]}
+    dec["mid_res0"] = _convert_vae_resblock(sd, "decoder.mid_block.resnets.0")
+    dec["mid_res1"] = _convert_vae_resblock(sd, "decoder.mid_block.resnets.1")
+    dec["mid_attn"] = _convert_vae_attention(sd, "decoder.mid_block.attentions.0")
+    for lvl in range(n_levels):
+        for i in range(3):
+            dec[f"up{lvl}_res{i}"] = _convert_vae_resblock(
+                sd, f"decoder.up_blocks.{lvl}.resnets.{i}")
+        if f"decoder.up_blocks.{lvl}.upsamplers.0.conv.weight" in sd:
+            dec[f"up{lvl}_conv"] = {
+                "kernel": _t_conv(sd[f"decoder.up_blocks.{lvl}.upsamplers.0.conv.weight"]),
+                "bias": sd[f"decoder.up_blocks.{lvl}.upsamplers.0.conv.bias"],
+            }
+    dec["norm_out"] = {"GroupNorm_0": {"scale": sd["decoder.conv_norm_out.weight"],
+                                       "bias": sd["decoder.conv_norm_out.bias"]}}
+    dec["conv_out"] = {"kernel": _t_conv(sd["decoder.conv_out.weight"]),
+                       "bias": sd["decoder.conv_out.bias"]}
+
+    enc = None
+    if not decoder_only and "encoder.conv_in.weight" in sd:
+        enc = {}
+        enc["conv_in"] = {"kernel": _t_conv(sd["encoder.conv_in.weight"]),
+                          "bias": sd["encoder.conv_in.bias"]}
+        for lvl in range(n_levels):
+            for i in range(2):
+                enc[f"down{lvl}_res{i}"] = _convert_vae_resblock(
+                    sd, f"encoder.down_blocks.{lvl}.resnets.{i}")
+            if f"encoder.down_blocks.{lvl}.downsamplers.0.conv.weight" in sd:
+                enc[f"down{lvl}_conv"] = {
+                    "kernel": _t_conv(
+                        sd[f"encoder.down_blocks.{lvl}.downsamplers.0.conv.weight"]),
+                    "bias": sd[f"encoder.down_blocks.{lvl}.downsamplers.0.conv.bias"],
+                }
+        enc["mid_res0"] = _convert_vae_resblock(sd, "encoder.mid_block.resnets.0")
+        enc["mid_res1"] = _convert_vae_resblock(sd, "encoder.mid_block.resnets.1")
+        enc["mid_attn"] = _convert_vae_attention(sd, "encoder.mid_block.attentions.0")
+        enc["norm_out"] = {"GroupNorm_0": {"scale": sd["encoder.conv_norm_out.weight"],
+                                           "bias": sd["encoder.conv_norm_out.bias"]}}
+        enc["conv_out"] = {"kernel": _t_conv(sd["encoder.conv_out.weight"]),
+                           "bias": sd["encoder.conv_out.bias"]}
+        enc["quant_conv"] = {"kernel": _t_conv(sd["quant_conv.weight"]),
+                             "bias": sd["quant_conv.bias"]}
+    return {"decoder": {"params": dec}, "encoder": {"params": enc} if enc else None}
+
+
+def load_sdxl_vae_params(path: str, n_levels: int = 4) -> Dict:
+    """Load + convert a diffusers AutoencoderKL checkpoint; returns the
+    VAEDecoder params tree (use convert_sdxl_vae for the encoder too)."""
+    sd = load_state_dict(path)
+    return convert_sdxl_vae(sd, n_levels=n_levels)["decoder"]
+
+
 def _fold_frozen_bn(sd, src, eps=1e-5):
     """detectron2 FrozenBatchNorm2d → our affine-only FrozenBatchNorm:
     scale = γ/√(var+ε), bias = β − mean·scale. Caffe2-origin .pkl

@@ -731,7 +731,9 @@ def _install_torchvision():
     tv = _mod("torchvision")
     ops = _mod("torchvision.ops")
     boxes_mod = _mod("torchvision.ops.boxes")
-    tv.__version__ = "0.0-shim"
+    # parseable by d2's `int(x) for x in __version__.split(".")[:2]`
+    # (roi_align.py:45 picks the aligned=True native path for >= (0, 7))
+    tv.__version__ = "0.15.0"
 
     def nms(boxes, scores, iou_threshold):
         """Exact greedy NMS, pure torch (reference torchvision semantics)."""

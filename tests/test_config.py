@@ -97,7 +97,6 @@ DECLARED_ONLY = {
     "MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_WEIGHT",
     "MODEL.ROI_BOX_HEAD.TRAIN_ON_PRED_BOXES",
     "MODEL.ROI_BOX_HEAD.MULT_OBJECT_SCORE",
-    "MODEL.ROI_BOX_HEAD.ZEROSHOT_WEIGHT_DIM",  # inferred from the .npy
     "MODEL.ROI_BOX_HEAD.NORM_WEIGHT",  # always-normalized zs classifier
     "MODEL.ROI_BOX_HEAD.IGNORE_ZERO_CATS", "MODEL.ROI_BOX_HEAD.USE_BIAS",
     "MODEL.ROI_BOX_HEAD.DEL_RARE_CLS", "MODEL.ROI_BOX_HEAD.ADD_FEATURE_TO_PROP",

@@ -62,3 +62,25 @@ def test_dla34_shapes():
     out = m.apply(params, x)
     assert out["dla2"].shape == (1, 16, 16, 64)
     assert out["dla5"].shape == (1, 2, 2, 512)
+
+
+def test_load_zs_weight_orientation(tmp_path):
+    """Reference-published classifier .npy files are (C, zs_dim) on disk and
+    transposed on load (modeling/utils.py:40-43); files already stored
+    (zs_dim, C) pass through when zs_dim disambiguates (ADVICE r2)."""
+    from divergen_tpu.modeling.meta_arch.rcnn import load_zs_weight
+
+    zs_dim, n_cls = 512, 37
+    w = np.random.RandomState(0).randn(n_cls, zs_dim).astype(np.float32)
+
+    ref_layout = tmp_path / "ref.npy"
+    np.save(ref_layout, w)
+    out = load_zs_weight(str(ref_layout), zs_dim=zs_dim)
+    assert out.shape == (zs_dim, n_cls)
+    np.testing.assert_array_equal(out, w.T)
+
+    ours = tmp_path / "ours.npy"
+    np.save(ours, w.T)  # already (zs_dim, C)
+    out2 = load_zs_weight(str(ours), zs_dim=zs_dim)
+    assert out2.shape == (zs_dim, n_cls)
+    np.testing.assert_array_equal(out2, w.T)

@@ -117,9 +117,14 @@ def test_pipeline_int8_generate_runs():
     assert o.shape == (1, 16, 16, 3) and np.isfinite(o).all()
 
 
-def test_int8_matmul_fused_quant_interpret():
+@pytest.mark.parametrize("m,k,n", [(256, 640, 512), (1280, 640, 640)])
+def test_int8_matmul_fused_quant_interpret(m, k, n):
     """Fused in-kernel activation quantization == quantize_act + int8 dot
-    (interpret mode; hardware timing in tools/r2_perf_sweep.py)."""
+    (interpret mode; hardware timing in tools/r2_perf_sweep.py).
+
+    m=1280 regression-pins the block pick: a plain min(_pick_block(m), 512)
+    chose bm=512 for m divisible by 640 but not 512, silently dropping the
+    last m % 512 output rows."""
     import jax
     import jax.numpy as jnp
 
@@ -130,7 +135,6 @@ def test_int8_matmul_fused_quant_interpret():
     from divergen_tpu.ops.quant import quantize_act, quantize_weight
 
     rng = np.random.RandomState(0)
-    m, k, n = 256, 640, 512
     assert supported_fused_quant(m, k, n)
     x = jnp.asarray(rng.randn(m, k) * 0.2, jnp.float32)
     w = jnp.asarray(rng.randn(k, n) * 0.05, jnp.float32)

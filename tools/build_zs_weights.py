@@ -2,7 +2,9 @@
 """Build zero-shot classifier weights from CLIP text embeddings of category
 names (↔ the reference's CLIP vocabulary embedding helper in
 divergen/predictor.py and the zs_weight .npy files Detic-style configs
-load). Output: (zs_dim, num_classes) L2-normalized .npy."""
+load). Output: (num_classes, zs_dim) L2-normalized .npy — the reference's
+on-disk layout (zero_shot_classifier.py:38-41 transposes on load, as does
+modeling.meta_arch.rcnn.load_zs_weight here)."""
 import argparse
 import json
 import os
@@ -42,7 +44,7 @@ def main(argv=None) -> int:
     feats = []
     for ofs in range(0, len(prompts), 64):
         feats.append(enc.encode_texts(tok.tokenize(prompts[ofs : ofs + 64])))
-    w = np.concatenate(feats).T  # (zs_dim, C)
+    w = np.concatenate(feats)  # (C, zs_dim): reference on-disk layout
     np.save(args.out, w.astype(np.float32))
     print(f"zs weights {w.shape} → {args.out}")
     return 0
