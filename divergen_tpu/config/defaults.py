@@ -403,6 +403,10 @@ def get_cfg() -> ConfigNode:
     t = c.TEST = ConfigNode()
     t.EVAL_PERIOD = 0
     t.DETECTIONS_PER_IMAGE = 300
+    # static pre-NMS (proposal, class) candidate cap; 0 = 4x the above
+    # (the torch reference NMS-es every candidate above threshold — raise
+    # for exact tail parity at extra NMS cost)
+    t.NMS_CANDIDATES = 0
     t.AUG = ConfigNode()
     t.AUG.ENABLED = False
 

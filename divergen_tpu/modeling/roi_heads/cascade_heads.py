@@ -65,6 +65,10 @@ class ROIHeadsConfig:
     score_thresh_test: float = 0.02
     nms_thresh_test: float = 0.5
     detections_per_image: int = 300
+    # static pre-NMS candidate cap (0 → detections_per_image * 4): the
+    # reference NMS-es EVERY (proposal, class) above the score threshold;
+    # raise this when exact tail parity matters more than NMS cost
+    nms_candidates: int = 0
     mult_proposal_score: bool = True
     one_class_per_proposal: bool = False
     add_gt_to_proposals: bool = True
@@ -130,6 +134,7 @@ class ROIHeadsConfig:
             score_thresh_test=r.SCORE_THRESH_TEST,
             nms_thresh_test=r.NMS_THRESH_TEST,
             detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+            nms_candidates=cfg.TEST.NMS_CANDIDATES,
             mult_proposal_score=b.MULT_PROPOSAL_SCORE,
             one_class_per_proposal=r.ONE_CLASS_PER_PROPOSAL,
             add_gt_to_proposals=r.PROPOSAL_APPEND_GT,
@@ -736,6 +741,14 @@ class CascadeROIHeads(nn.Module):
                 probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
             scores_sum = scores_sum + probs
             boxes = box_regression.apply_deltas(deltas, boxes, c.cascade_reg_weights[stage])
+            if stage + 1 < len(c.cascade_ious):
+                # refined boxes are clipped to the image before feeding the
+                # next stage (detic_roi_heads.py _create_proposals_from_boxes
+                # → Boxes.clip) — unclipped stage-1/2 pooling measurably
+                # shifts scores (tests/parity/test_full_graph_parity.py)
+                from ...structures import boxes as box_ops
+
+                boxes = jax.vmap(box_ops.clip)(boxes, image_sizes)
         scores_avg = scores_sum / len(c.cascade_ious)
         if c.mult_proposal_score:
             scores_avg = jnp.sqrt(scores_avg * jnp.maximum(prop_scores, 0.0)[..., None])
@@ -848,7 +861,7 @@ def _fast_rcnn_inference_single(c: ROIHeadsConfig, boxes, scores, valid, image_s
     boxes = box_ops.clip(boxes, image_size)
     flat = jnp.where(valid[:, None], scores, 0.0).reshape(-1)  # (P*C,)
     flat = jnp.where(flat > c.score_thresh_test, flat, -jnp.inf)
-    cand = min(c.detections_per_image * 4, flat.shape[0])
+    cand = min(c.nms_candidates or c.detections_per_image * 4, flat.shape[0])
     topv, topi = jax.lax.top_k(flat, cand)
     prop_idx = topi // num_c
     cls_idx = topi % num_c

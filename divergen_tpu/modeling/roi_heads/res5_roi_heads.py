@@ -69,7 +69,10 @@ class Res5ROIHeads(nn.Module):
         fmap = features[c.in_features[0]]
         stride = c.strides[0]
         pooled = jax.vmap(
-            lambda fm, bx: roi_align(fm, bx, 2 * c.pooler_resolution, 1.0 / stride)
+            # sampling_ratio=0: d2's adaptive default (POOLER_SAMPLING_RATIO)
+            lambda fm, bx: roi_align(
+                fm, bx, 2 * c.pooler_resolution, 1.0 / stride, sampling_ratio=0
+            )
         )(fmap, boxes)
         b, p = pooled.shape[:2]
         x = pooled.reshape(b * p, *pooled.shape[2:])

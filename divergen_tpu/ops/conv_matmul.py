@@ -39,12 +39,35 @@ def conv3x3_im2col(x: Array, kernel: Array, bias: Array | None = None) -> Array:
     return y
 
 
+def conv3x3_tapsum(x: Array, kernel: Array, bias: Array | None = None) -> Array:
+    """SAME-padded 3x3 conv as 9 accumulated (B·H·W, Cin)@(Cin, Cout) GEMMs
+    — same MXU shape benefits as the im2col form WITHOUT materializing the
+    9x patch buffer (the im2col concat costs 9x the activation HBM traffic
+    when XLA fails to fuse it into the dot). Third A/B candidate for the
+    hardware conv sweep."""
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            tap = xp[:, dy : dy + h, dx : dx + w, :].reshape(-1, cin)
+            part = jnp.dot(tap, kernel[dy, dx], preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+    y = acc.reshape(b, h, w, cout).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
 class Conv3x3MM(nn.Module):
     """Drop-in for ``nn.Conv(features, (3,3), padding=1)`` with identical
-    param names/shapes; forward runs the im2col GEMM."""
+    param names/shapes; forward runs the im2col GEMM (``mode='im2col'``)
+    or the 9-GEMM tap accumulation (``mode='tapsum'``)."""
 
     features: int
     dtype: Any = jnp.float32
+    mode: str = "im2col"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -55,6 +78,5 @@ class Conv3x3MM(nn.Module):
             (3, 3, cin, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return conv3x3_im2col(
-            x.astype(self.dtype), kernel.astype(self.dtype), bias
-        )
+        fn = conv3x3_tapsum if self.mode == "tapsum" else conv3x3_im2col
+        return fn(x.astype(self.dtype), kernel.astype(self.dtype), bias)

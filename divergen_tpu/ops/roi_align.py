@@ -34,16 +34,59 @@ def _interp_matrix(start: Array, size: Array, n_out: int, s: int, extent: int) -
 
     start/size: (R,) roi start & length in feature coords (aligned=True
     offsets already applied). Returns (R, n_out, extent): row i holds the
-    average of the s bilinear sample kernels of output bin i. Samples
-    outside [-1, extent] get zero weight — identical to the masked-gather
-    semantics (a sample at -0.5 contributes 0.5·f[0]).
+    average of the s bilinear sample kernels of output bin i.
+
+    Border semantics follow torchvision's roi_align kernel exactly (the
+    reference pools UNCLIPPED proposals, so rois cross the feature border
+    routinely): a sample farther than 1 px outside [(-1, extent)] gets zero
+    weight, but a sample within that band is CLAMPED onto the border pixel
+    with full weight (torchvision roi_align_kernel: `if y < -1 || y > h:
+    continue; y = clamp(y, 0, h-1)`). A fade-to-zero kernel here
+    (relu(1-|pos-h|) on the raw position — a sample at -0.5 contributing
+    0.5·f[0]) underweights border bins and measurably shifts cascade
+    scores (caught by tests/parity/test_full_graph_parity.py).
     """
     n_pts = n_out * s
     rel = (jnp.arange(n_pts, dtype=jnp.float32) + 0.5) / n_pts
     pos = start[:, None] + rel[None, :] * size[:, None]  # (R, n_pts)
+    inside = (pos >= -1.0) & (pos <= float(extent))
+    pos_c = jnp.clip(pos, 0.0, float(extent - 1))
     grid = jnp.arange(extent, dtype=jnp.float32)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, :, None] - grid[None, None, :]))
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos_c[:, :, None] - grid[None, None, :]))
+    w = w * inside[:, :, None]
     return w.reshape(-1, n_out, s, extent).mean(axis=2)  # (R, n_out, extent)
+
+
+# static cap on per-roi adaptive sample counts: bins at a roi's ASSIGNED
+# level are ~2-4 px (the canonical-224 level rule keeps bin size bounded);
+# only min/max-level clamping exceeds that, e.g. a 1.5x-image box on p5 of a
+# 1500px image → ceil(70/7) = 10. Counts are clipped here — a clipped count
+# only drops sub-sample density on absurdly large rois.
+_ADAPTIVE_S_MAX = 12
+
+
+def _interp_matrix_adaptive(
+    start: Array, size: Array, n_out: int, counts: Array, extent: int,
+    s_max: int = _ADAPTIVE_S_MAX,
+) -> Array:
+    """Adaptive-count variant (d2 POOLER_SAMPLING_RATIO=0, the reference
+    detector default): bin i draws ``counts[r]`` samples at
+    ``start + (i + (k+0.5)/cnt)·bin`` (torchvision adaptive rule
+    ``ceil(roi_size / n_out)``), realized as a static (s_max,) sample grid
+    with a validity mask so shapes stay jit-static."""
+    bins = size / n_out  # (R,)
+    i_idx = jnp.arange(n_out, dtype=jnp.float32)
+    k_idx = jnp.arange(s_max, dtype=jnp.float32)
+    cnt = jnp.clip(counts, 1, s_max).astype(jnp.float32)[:, None, None]  # (R,1,1)
+    frac = (k_idx[None, None, :] + 0.5) / cnt  # (R,1,S)
+    pos = start[:, None, None] + (i_idx[None, :, None] + frac) * bins[:, None, None]
+    valid = k_idx[None, None, :] < cnt
+    inside = (pos >= -1.0) & (pos <= float(extent))
+    pos_c = jnp.clip(pos, 0.0, float(extent - 1))
+    grid = jnp.arange(extent, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos_c[..., None] - grid))  # (R,n_out,S,extent)
+    w = w * (inside & valid)[..., None]
+    return w.sum(axis=2) / cnt  # average over the actual count
 
 
 def roi_align(
@@ -52,6 +95,7 @@ def roi_align(
     output_size: int,
     spatial_scale: float,
     sampling_ratio: int = 2,
+    sample_counts=None,  # optional ((R,), (R,)) adaptive (y, x) counts
 ) -> Array:
     """ROIAlign on one feature map.
 
@@ -60,6 +104,12 @@ def roi_align(
       boxes: (N, 4) XYXY in *image* coordinates.
       output_size: output resolution (e.g. 7 or 14).
       spatial_scale: feature stride reciprocal (e.g. 1/16).
+      sampling_ratio: fixed samples/bin; 0 = adaptive per-roi counts
+        ``ceil(roi_size / output_size)`` (the torchvision/d2 default the
+        reference detector runs with).
+      sample_counts: externally computed adaptive counts — the FPN pooler
+        passes the ASSIGNED level's counts so every level pools with the
+        same grid as the level that will be selected.
     Returns:
       (N, output_size, output_size, C)
     """
@@ -69,8 +119,17 @@ def roi_align(
     y1 = boxes[:, 1] * spatial_scale - 0.5
     roi_w = jnp.maximum((boxes[:, 2] - boxes[:, 0]) * spatial_scale, 1e-6)
     roi_h = jnp.maximum((boxes[:, 3] - boxes[:, 1]) * spatial_scale, 1e-6)
-    a_y = _interp_matrix(y1, roi_h, output_size, sampling_ratio, h)  # (R, out, H)
-    a_x = _interp_matrix(x1, roi_w, output_size, sampling_ratio, w)  # (R, out, W)
+    if sample_counts is None and sampling_ratio == 0:
+        sample_counts = (
+            jnp.ceil(roi_h / output_size).astype(jnp.int32),
+            jnp.ceil(roi_w / output_size).astype(jnp.int32),
+        )
+    if sample_counts is not None:
+        a_y = _interp_matrix_adaptive(y1, roi_h, output_size, sample_counts[0], h)
+        a_x = _interp_matrix_adaptive(x1, roi_w, output_size, sample_counts[1], w)
+    else:
+        a_y = _interp_matrix(y1, roi_h, output_size, sampling_ratio, h)  # (R, out, H)
+        a_x = _interp_matrix(x1, roi_w, output_size, sampling_ratio, w)  # (R, out, W)
     a_y = a_y.astype(features.dtype)
     a_x = a_x.astype(features.dtype)
     # rows: contract H on the MXU; then columns: batched contract W
@@ -115,9 +174,19 @@ def multilevel_roi_align(
     # static under jit (jnp.log2 would stage a tracer post-omnistaging)
     min_level = int(math.log2(strides[0]))
     levels = assign_boxes_to_levels(boxes, min_level, min_level + len(strides) - 1)
+    # adaptive sampling counts (d2 POOLER_SAMPLING_RATIO=0 default) from the
+    # ASSIGNED level's bin size; every level pools with the selected level's
+    # grid (unselected outputs are discarded by the take_along_axis anyway)
+    sel_scale = 1.0 / jnp.asarray(strides, jnp.float32)[levels]
+    rh = jnp.maximum((boxes[:, 3] - boxes[:, 1]) * sel_scale, 1e-6)
+    rw = jnp.maximum((boxes[:, 2] - boxes[:, 0]) * sel_scale, 1e-6)
+    counts = (
+        jnp.ceil(rh / output_size).astype(jnp.int32),
+        jnp.ceil(rw / output_size).astype(jnp.int32),
+    )
     per_level = jnp.stack(
         [
-            roi_align(fm, boxes, output_size, 1.0 / st)
+            roi_align(fm, boxes, output_size, 1.0 / st, sample_counts=counts)
             for fm, st in zip(feature_maps, strides)
         ]
     )  # (L, N, out, out, C)

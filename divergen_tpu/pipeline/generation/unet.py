@@ -108,14 +108,19 @@ class GroupNorm32(nn.Module):
 class ResBlock(nn.Module):
     out_channels: int
     dtype: Any = jnp.float32
-    conv_matmul: bool = False  # 3x3 convs as im2col GEMMs (ops/conv_matmul)
+    # 3x3 convs as GEMMs (ops/conv_matmul): False = native conv lowering,
+    # True/'im2col' = one im2col GEMM, 'tapsum' = 9 accumulated GEMMs
+    conv_matmul: Any = False
 
     @nn.compact
     def __call__(self, x: Array, emb: Array) -> Array:
         if self.conv_matmul:
             from ...ops.conv_matmul import Conv3x3MM
 
-            conv = lambda name: Conv3x3MM(self.out_channels, dtype=self.dtype, name=name)
+            mode = self.conv_matmul if isinstance(self.conv_matmul, str) else "im2col"
+            conv = lambda name: Conv3x3MM(
+                self.out_channels, dtype=self.dtype, mode=mode, name=name
+            )
         else:
             conv = lambda name: nn.Conv(
                 self.out_channels, (3, 3), padding=1, dtype=self.dtype, name=name
@@ -314,7 +319,7 @@ class UNetSDXL(nn.Module):
     pooled_proj_dim: int = 2816  # 1280 pooled + 6*256 time ids
     num_class_embeds: Optional[int] = None  # SD-x4-upscaler: 1000 noise levels
     quant: bool = False  # int8 transformer matmuls (ops/quant.py)
-    conv_matmul: bool = False  # resblock 3x3 convs as im2col GEMMs
+    conv_matmul: Any = False  # resblock 3x3 convs as GEMMs: True/'im2col'|'tapsum'
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -699,6 +699,7 @@ def convert_d2_detector(
     fpn_in_features=("res3", "res4", "res5"),
     cascade_stages: int = 3,
     use_zeroshot: bool = False,
+    box_pooler_resolution: int = 7,
 ) -> Dict:
     """Full detector checkpoint (DiverGen/Detic/BSGAL: Swin/ResNet + FPN +
     CenterNet2 proposals + Detic cascade heads) → our CustomRCNN param tree.
@@ -817,8 +818,24 @@ def convert_d2_detector(
         bh = {}
         for fc in ("fc1", "fc2"):
             if f"roi_heads.box_head.{k}.{fc}.weight" in sd:
+                w = take(f"roi_heads.box_head.{k}.{fc}.weight")
+                if fc == "fc1":
+                    # torch flattens the pooled roi NCHW (c·H·W + y·W + x);
+                    # our head flattens NHWC — permute the input axis or the
+                    # loaded head silently computes on scrambled features
+                    # (caught by tests/parity/test_full_graph_parity.py)
+                    res = box_pooler_resolution
+                    cin = w.shape[1] // (res * res)
+                    assert cin * res * res == w.shape[1], (w.shape, res)
+                    w = (
+                        w.reshape(-1, cin, res, res)
+                        .transpose(2, 3, 1, 0)
+                        .reshape(res * res * cin, -1)
+                    )
+                else:
+                    w = _t_linear(w)
                 bh[fc] = {
-                    "kernel": _t_linear(take(f"roi_heads.box_head.{k}.{fc}.weight")),
+                    "kernel": w,
                     "bias": take(f"roi_heads.box_head.{k}.{fc}.bias"),
                 }
         if bh:
@@ -900,6 +917,7 @@ def load_d2_detector_into(params, path_or_sd, cfg=None, **kw) -> Dict:
     if cfg is not None:
         kw.setdefault("use_zeroshot", cfg.MODEL.ROI_BOX_HEAD.USE_ZEROSHOT_CLS)
         kw.setdefault("cascade_stages", len(cfg.MODEL.ROI_BOX_CASCADE_HEAD.IOUS))
+        kw.setdefault("box_pooler_resolution", cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION)
     converted = convert_d2_detector(sd, **kw)
     stats = converted.pop("_stats")
     if stats["unmapped"]:

@@ -143,14 +143,13 @@ def test_box_and_mask_head_forward_parity():
     # stage 0 box head + zs predictor
     bh = FastRCNNConvFCHead(fc_dim=fc_dim, num_fc=2)
     bparams = {"params": conv["roi_heads"]["box_head0"]}
-    feat = bh.apply(bparams, jnp.asarray(x))
-    # torch flattens NCHW; ours flattens NHWC — flatten identically for parity
+    # NHWC in, NCHW-flatten reference: the converter permutes fc1's input
+    # axis (torch flattens c·H·W+y·W+x, we flatten y·W·C+x·C+c) — feeding
+    # both sides their NATIVE layout is the honest test (a round-2 version
+    # flattened identically on both sides and masked a converter bug)
     with torch.no_grad():
-        tx = torch.tensor(x.reshape(6, -1))
-        ref_feat = torch.relu(ref_boxes[0].fc2(torch.relu(ref_boxes[0].fc1(tx))))
-    ours_feat = np.asarray(
-        bh.apply(bparams, jnp.asarray(x.reshape(6, 1, 1, res * res * in_ch)))
-    )
+        ref_feat = ref_boxes[0](torch.tensor(x.transpose(0, 3, 1, 2)))
+    ours_feat = np.asarray(bh.apply(bparams, jnp.asarray(x)))
     np.testing.assert_allclose(ours_feat, ref_feat.numpy(), rtol=2e-4, atol=2e-4)
 
     pred = DeticOutputLayers(num_classes=n_cls, use_zeroshot_cls=True, zs_dim=zs_dim)

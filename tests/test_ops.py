@@ -81,17 +81,21 @@ def np_roi_align(feat, box, out, scale, ratio=2):
     h, w, c = feat.shape
 
     def bil(y, x):
+        # torchvision roi_align border semantics: >1px outside → 0; within
+        # the 1px band → clamped onto the border pixel with full weight
         if y < -1 or y > h or x < -1 or x > w:
             return np.zeros(c)
+        y = min(max(y, 0.0), h - 1)
+        x = min(max(x, 0.0), w - 1)
         y0, x0 = int(np.floor(y)), int(np.floor(x))
-        res = np.zeros(c)
-        for dy in (0, 1):
-            for dx in (0, 1):
-                yy, xx = y0 + dy, x0 + dx
-                wgt = (1 - abs(y - yy)) * (1 - abs(x - xx))
-                if 0 <= yy < h and 0 <= xx < w and wgt > 0:
-                    res += wgt * feat[yy, xx]
-        return res
+        y1i, x1i = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+        ly, lx = y - y0, x - x0
+        return (
+            feat[y0, x0] * (1 - ly) * (1 - lx)
+            + feat[y0, x1i] * (1 - ly) * lx
+            + feat[y1i, x0] * ly * (1 - lx)
+            + feat[y1i, x1i] * ly * lx
+        )
 
     x1, y1, x2, y2 = box * scale - 0.5 * np.array([1, 1, 1, 1]) * 0  # placeholder
     x1 = box[0] * scale - 0.5
@@ -128,9 +132,13 @@ class TestROIAlign:
         boxes = jnp.array([[0, 0, 32, 32], [0, 0, 250, 250]], jnp.float32)
         out = multilevel_roi_align([jnp.array(f) for f in feats], [8, 16], boxes, 7)
         assert out.shape == (2, 7, 7, 8)
-        want_small = roi_align(jnp.array(feats[0]), boxes[:1], 7, 1 / 8)
+        # the pooler runs d2's adaptive sampling (ratio 0: ceil(bin) samples
+        # per bin, computed at the SELECTED level) — match it per level
+        want_small = roi_align(jnp.array(feats[0]), boxes[:1], 7, 1 / 8,
+                               sampling_ratio=0)
         np.testing.assert_allclose(out[0], want_small[0], atol=1e-5)
-        want_big = roi_align(jnp.array(feats[1]), boxes[1:], 7, 1 / 16)
+        want_big = roi_align(jnp.array(feats[1]), boxes[1:], 7, 1 / 16,
+                             sampling_ratio=0)
         np.testing.assert_allclose(out[1], want_big[0], atol=1e-5)
 
 
@@ -258,9 +266,11 @@ class TestAttention:
         )
 
 
-def test_conv3x3_im2col_matches_nn_conv():
+@pytest.mark.parametrize("mode", ["im2col", "tapsum"])
+def test_conv3x3_gemm_matches_nn_conv(mode):
     """ops/conv_matmul: identical params, identical outputs to nn.Conv
-    (the UNet's conv_matmul=True path must be a pure layout change)."""
+    (the UNet's conv_matmul path must be a pure layout change) — both the
+    one-GEMM im2col form and the 9-GEMM tap-sum form."""
     import flax.linen as nn
 
     from divergen_tpu.ops.conv_matmul import Conv3x3MM
@@ -270,6 +280,6 @@ def test_conv3x3_im2col_matches_nn_conv():
     ref = nn.Conv(24, (3, 3), padding=1)
     params = ref.init(jax.random.PRNGKey(0), x)
     want = ref.apply(params, x)
-    got = Conv3x3MM(24).apply(params, x)
+    got = Conv3x3MM(24, mode=mode).apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)

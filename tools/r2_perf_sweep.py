@@ -82,7 +82,7 @@ def bench_unet(B, conv_matmul=False, int8=False):
         return probes[k](params, lat)
 
     per_step = _diff_time(run_k, 2, 10, lambda o: np.asarray(o[0, ::64, ::64, 0]).sum())
-    print(json.dumps({"metric": f"unet_step_ms_B{B}_convmm{int(conv_matmul)}_int8{int(int8)}",
+    print(json.dumps({"metric": f"unet_step_ms_B{B}_convmm{conv_matmul}_int8{int(int8)}",
                       "value": round(per_step * 1e3, 2),
                       "per_img_50step_s": round(per_step * 50 / B, 3)}), flush=True)
     return per_step
@@ -137,7 +137,8 @@ def main():
     if not args.skip_unet:
         for B in (1, 4):
             bench_unet(B)
-        bench_unet(4, conv_matmul=True)  # im2col-GEMM resblock convs A/B
+        bench_unet(4, conv_matmul=True)   # im2col-GEMM resblock convs A/B
+        bench_unet(4, conv_matmul="tapsum")  # 9-GEMM tap-sum conv variant
         bench_unet(4, int8=True)  # W8A8 with in-kernel activation quant
     if not args.skip_swin:
         for fused in (False, True):
