@@ -105,15 +105,49 @@ class GroupNorm32(nn.Module):
         return _ChannelMomentGN(groups=g, dtype=self.dtype, name="GroupNorm_0")(x)
 
 
+class _GNInner(nn.Module):
+    @nn.compact
+    def __call__(self, c: int):
+        return (
+            self.param("scale", nn.initializers.ones_init(), (c,)),
+            self.param("bias", nn.initializers.zeros_init(), (c,)),
+        )
+
+
+class _GNParams(nn.Module):
+    """Param-holder matching GroupNorm32's tree (<name>/GroupNorm_0/...)."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        return _GNInner(name="GroupNorm_0")(c)
+
+
+class _ConvParams(nn.Module):
+    """Param-holder matching nn.Conv(3x3)'s tree (<name>/{kernel,bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features)),
+            self.param("bias", nn.initializers.zeros_init(), (self.features,)),
+        )
+
+
 class ResBlock(nn.Module):
     out_channels: int
     dtype: Any = jnp.float32
     # 3x3 convs as GEMMs (ops/conv_matmul): False = native conv lowering,
-    # True/'im2col' = one im2col GEMM, 'tapsum' = 9 accumulated GEMMs
+    # True/'im2col' = one im2col GEMM, 'tapsum' = 9 accumulated GEMMs,
+    # 'fused' = Pallas fused GN+SiLU+conv (ops/pallas/fused_gn_conv,
+    # forward-only — generation serving)
     conv_matmul: Any = False
 
     @nn.compact
     def __call__(self, x: Array, emb: Array) -> Array:
+        if self.conv_matmul == "fused":
+            return self._fused(x, emb)
         if self.conv_matmul:
             from ...ops.conv_matmul import Conv3x3MM
 
@@ -133,6 +167,25 @@ class ResBlock(nn.Module):
         h = conv("conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+    def _fused(self, x: Array, emb: Array) -> Array:
+        """Same param tree (norm{1,2}/GroupNorm_0/{scale,bias},
+        conv{1,2}/{kernel,bias}), forward through the fused Pallas kernel —
+        checkpoints/converters unchanged."""
+        from ...ops.pallas.fused_gn_conv import fused_gn_silu_conv3x3
+
+        co, cin = self.out_channels, x.shape[-1]
+        s1, b1 = _GNParams(name="norm1")(cin)
+        k1, cb1 = _ConvParams(co, name="conv1")(cin)
+        h = fused_gn_silu_conv3x3(x, s1, b1, k1, cb1)
+        e = nn.Dense(co, dtype=self.dtype, name="time_emb_proj")(nn.silu(emb))
+        h = (h.astype(jnp.float32) + e[:, None, None, :].astype(jnp.float32)).astype(x.dtype)
+        s2, b2 = _GNParams(name="norm2")(co)
+        k2, cb2 = _ConvParams(co, name="conv2")(co)
+        h = fused_gn_silu_conv3x3(h, s2, b2, k2, cb2)
+        if cin != co:
+            x = nn.Conv(co, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
 
 

@@ -255,3 +255,30 @@ def test_int8_fused_quant_hardware_parity(m, k, n):
                               preferred_element_type=jnp.int32)
     want = np.asarray(acc.astype(jnp.float32) * xs * ws)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_fused_gn_silu_conv_hardware_parity():
+    """Pallas fused GN+SiLU+conv vs the XLA chain at SDXL resblock shapes
+    (real halo DMA path — interpret mode can't catch Mosaic lowering bugs,
+    cf. the round-1 window-attention bias-grad lesson)."""
+    import jax
+    import jax.numpy as jnp
+
+    from divergen_tpu.ops.pallas.fused_gn_conv import fused_gn_silu_conv3x3
+
+    rng = np.random.RandomState(0)
+    for (b, h, w, c, co) in [(2, 64, 64, 640, 640), (1, 128, 128, 320, 320),
+                             (2, 32, 32, 1280, 1280)]:
+        x = jnp.asarray(rng.randn(b, h, w, c) * 0.5, jnp.float32)
+        scale = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+        gbias = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+        kernel = jnp.asarray(rng.randn(3, 3, c, co) * 0.02, jnp.float32)
+        cbias = jnp.asarray(rng.randn(co) * 0.1, jnp.float32)
+        got = np.asarray(jax.jit(
+            lambda *a: fused_gn_silu_conv3x3(*a, use_pallas=True)
+        )(x, scale, gbias, kernel, cbias))
+        want = np.asarray(jax.jit(
+            lambda *a: fused_gn_silu_conv3x3(*a, use_pallas=False)
+        )(x, scale, gbias, kernel, cbias))
+        np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2,
+                                   err_msg=f"shape {(b, h, w, c, co)}")

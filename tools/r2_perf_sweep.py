@@ -139,6 +139,7 @@ def main():
             bench_unet(B)
         bench_unet(4, conv_matmul=True)   # im2col-GEMM resblock convs A/B
         bench_unet(4, conv_matmul="tapsum")  # 9-GEMM tap-sum conv variant
+        bench_unet(4, conv_matmul="fused")  # Pallas fused GN+SiLU+conv
         bench_unet(4, int8=True)  # W8A8 with in-kernel activation quant
     if not args.skip_swin:
         for fused in (False, True):
