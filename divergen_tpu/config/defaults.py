@@ -143,9 +143,13 @@ def get_cfg() -> ConfigNode:
     cn.HM_MIN_OVERLAP = 0.8
     cn.MIN_RADIUS = 4
     cn.SOI = [[0, 80], [64, 160], [128, 320], [256, 640], [512, 10000000]]
-    cn.POS_WEIGHT = 0.5
-    cn.NEG_WEIGHT = 0.5
-    cn.REG_WEIGHT = 1.0
+    # reference DEFAULTS (centernet/config.py:29-31) — the published
+    # DiverGen Base-C2 yaml overrides to 0.5/0.5/1.0; baking the yaml
+    # values in here made raw-default training losses exactly half the
+    # reference's (caught by tests/parity/test_full_graph_train_parity.py)
+    cn.POS_WEIGHT = 1.0
+    cn.NEG_WEIGHT = 1.0
+    cn.REG_WEIGHT = 2.0
     cn.HM_FOCAL_BETA = 4
     cn.HM_FOCAL_ALPHA = 0.25
     cn.LOSS_GAMMA = 2.0
@@ -163,7 +167,7 @@ def get_cfg() -> ConfigNode:
     r.NAME = "DeticCascadeROIHeads"
     r.NUM_CLASSES = 1203
     r.IN_FEATURES = ["p3", "p4", "p5"]
-    r.IOU_THRESHOLDS = [0.6]
+    r.IOU_THRESHOLDS = [0.5]  # d2 default; DiverGen yaml sets [0.6]
     r.IOU_LABELS = [0, 1]
     r.BATCH_SIZE_PER_IMAGE = 512
     r.POSITIVE_FRACTION = 0.25
@@ -227,7 +231,13 @@ def get_cfg() -> ConfigNode:
         (20.0, 20.0, 10.0, 10.0),
         (30.0, 30.0, 15.0, 15.0),
     )
-    cascade.IOUS = (0.6, 0.7, 0.8)
+    # d2 DEFAULT (detectron2 config/defaults.py:332); the DiverGen base
+    # yaml overrides to [0.6, 0.7, 0.8]. Baking the yaml values in as
+    # defaults made raw-default stage matching diverge from the reference
+    # (tests/parity/test_full_graph_train_parity.py). Stage 0's sampling
+    # threshold is IOUS[0] (cascade_rcnn.py:99 asserts it equals
+    # ROI_HEADS.IOU_THRESHOLDS[0]).
+    cascade.IOUS = (0.5, 0.6, 0.7)
 
     mk = m.ROI_MASK_HEAD = ConfigNode()
     mk.NAME = "MaskRCNNConvUpsampleHead"

@@ -178,7 +178,8 @@ class CustomRCNN(nn.Module):
                 "valid": gt["valid"],
             }
             return self.roi_heads.losses(
-                rng, features, proposals, gt, fed_weight=fed_weight, axis_name=axis_name
+                rng, features, proposals, gt, fed_weight=fed_weight,
+                axis_name=axis_name, image_sizes=image_sizes,
             )
         cn_feats = [features[f] for f in self.centernet_cfg.in_features]
         agn_hms, bbox_regs, _ = self.centernet_head(cn_feats)
@@ -284,6 +285,7 @@ class CustomRCNN(nn.Module):
                 fed_weight=fed_weight,
                 axis_name=axis_name,
                 cls_inds=cls_inds,
+                image_sizes=image_sizes,
             )
             losses.update(roi_losses)
             return _apply_dataset_loss_weight(

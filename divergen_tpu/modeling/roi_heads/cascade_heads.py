@@ -478,6 +478,7 @@ class CascadeROIHeads(nn.Module):
         fed_weight: Optional[Array] = None,  # (C,) freq^0.5 weights
         axis_name: Optional[str] = None,
         cls_inds: Optional[Array] = None,  # (K,) dynamic-classifier columns
+        image_sizes: Optional[Array] = None,  # (B, 2) for inter-stage clip
     ) -> Dict[str, Array]:
         c = self.cfg
         b = proposals["boxes"].shape[0]
@@ -544,10 +545,21 @@ class CascadeROIHeads(nn.Module):
             )
             losses.update({f"{k}_stage{stage}": v for k, v in stage_losses.items()})
 
-            # refine boxes for the next stage (predict_boxes, no grad)
+            # refine boxes for the next stage (predict_boxes, no grad);
+            # clipped to the image and empties dropped like
+            # _create_proposals_from_boxes (training filters nonempty() —
+            # statically: marked invalid so they leave the loss)
             refined = box_regression.apply_deltas(
                 jax.lax.stop_gradient(deltas), boxes, c.cascade_reg_weights[stage]
             )
+            if image_sizes is not None:
+                from ...structures import boxes as box_ops
+
+                refined = jax.vmap(box_ops.clip)(refined, image_sizes)
+                nonempty = (refined[..., 2] > refined[..., 0]) & (
+                    refined[..., 3] > refined[..., 1]
+                )
+                sample_valid = sample_valid & nonempty
             boxes = refined
 
         if c.mask_on:

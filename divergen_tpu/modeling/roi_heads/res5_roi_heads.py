@@ -81,7 +81,8 @@ class Res5ROIHeads(nn.Module):
         return x
 
     def losses(self, rng, features, proposals, gt, fed_weight=None, axis_name=None,
-               cls_inds=None):
+               cls_inds=None, image_sizes=None):
+        # image_sizes unused: single stage, no inter-stage box refinement
         c = self.cfg
         b = proposals["boxes"].shape[0]
         pb = jnp.concatenate([proposals["boxes"], gt["boxes"]], axis=1)
