@@ -302,7 +302,7 @@ def _packed_kernel2(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
 def flash_attention_packed(
     qkv: Array, heads: int, use_pallas: bool | None = None, interpret: bool = False,
-    heads_per_block: int = 1,
+    heads_per_block: int | None = None,
 ) -> Array:
     """Self-attention on a fused-QKV projection without any head transpose.
 
@@ -336,16 +336,26 @@ def flash_attention_packed(
 
     block_q, block_k = _pick_blocks(n, n, d)
     block_q, block_k = min(block_q, n), min(block_k, n)
-    if n % block_q or n % block_k:
+    # Mosaic lane constraint: the last block dim must be a multiple of 128
+    # (or span the whole channel axis). At SDXL's d=64 a single-head block
+    # is 64-wide and fails to lower on hardware (caught by tests/tpu), so
+    # hpb=2 (128-lane channel block) is the only valid packed config there;
+    # shapes that can't tile to 128 lanes take the transposed flash path.
+    if heads_per_block is None:
+        hpb = 1 if d % 128 == 0 else (2 if (2 * d) % 128 == 0 and h % 2 == 0 else 0)
+    else:
+        hpb = heads_per_block if (heads_per_block == 2 and h % 2 == 0) else 1
+        if (hpb * d) % 128 and not interpret:
+            hpb = 0
+    if hpb == 0 or n % block_q or n % block_k:
         perm = lambda s: (
             qkv[..., s * h * d : (s + 1) * h * d]
             .reshape(b, n, h, d).transpose(0, 2, 1, 3).reshape(b * h, n, d)
         )
-        out = flash_attention(perm(0), perm(1), perm(2))
+        out = flash_attention(perm(0), perm(1), perm(2), use_pallas=use_pallas)
         return out.reshape(b, h, n, d).transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
     num_kv = n // block_k
-    hpb = heads_per_block if (heads_per_block == 2 and h % 2 == 0) else 1
     grid = (b, h // hpb, n // block_q, num_kv)
     bd = hpb * d  # channel-block width; index units below are bd-sized
     q_spec = pl.BlockSpec((1, block_q, bd), lambda bb, hh, i, j: (bb, i, hh),
