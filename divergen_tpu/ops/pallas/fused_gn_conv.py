@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(a_ref, b_ref, w_ref, bias_ref, xp_ref, o_ref, slab, sem, *,
-            th: int, height: int, width: int):
+            th: int, height: int, width: int, wp: int):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
 
@@ -48,12 +48,13 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, xp_ref, o_ref, slab, sem, *,
 
     xs = slab[:].astype(jnp.float32)
     # folded GroupNorm affine + SiLU (f32), per-(B, C) a/b
-    xs = xs * a_ref[0][None, None, :] + b_ref[0][None, None, :]
+    xs = xs * a_ref[0, 0][None, None, :] + b_ref[0, 0][None, None, :]
     h = xs * jax.nn.sigmoid(xs)
     # conv zero-padding applies AFTER normalization: mask the global pad
-    # ring (slab rows/cols that map to the pre-pad border) back to zero
+    # ring (slab rows/cols that map to the pre-pad border) back to zero;
+    # cols >= width+2 are 8-alignment padding (never read by the taps)
     g_row = hi * th + jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
-    g_col = jax.lax.broadcasted_iota(jnp.int32, (1, width + 2, 1), 1)
+    g_col = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
     valid = ((g_row > 0) & (g_row < height + 1)) & ((g_col > 0) & (g_col < width + 1))
     h = jnp.where(valid, h, 0.0).astype(w_ref.dtype)
 
@@ -62,9 +63,7 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, xp_ref, o_ref, slab, sem, *,
     acc = jnp.zeros((th * width, co), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            tap = jax.lax.dynamic_slice(
-                h, (dy, dx, 0), (th, width, c)
-            ).reshape(th * width, c)
+            tap = h[dy:dy + th, dx:dx + width, :].reshape(th * width, c)
             acc = acc + jax.lax.dot_general(
                 tap, w_ref[dy, dx], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -126,30 +125,58 @@ def fused_gn_silu_conv3x3(
         )
         return (out + bias[None, None, None, :]).astype(x.dtype)
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(jnp.bfloat16)
-    th = _pick_th(h, w, c)
-    co_blk = co if co <= 256 else (256 if co % 256 == 0 else co)
+    # Mosaic DMA slices need the sublane (second-to-last) dim 8-aligned
+    # and the lane (last) dim 128-aligned: pad width+2 up to a multiple of
+    # 8 and C up to a multiple of 128 (SDXL's 320-ch level is 2.5×128 —
+    # the HBM memref gets lane-padded to 384 and a 320-lane DMA slice
+    # fails to lower). Padded channels carry a=0, b=0 ⇒ silu(0)=0 and
+    # zero kernel taps, so they contribute nothing.
+    wp = -(-(w + 2) // 8) * 8
+    cp = -(-c // 128) * 128
+    xp = jnp.pad(
+        x, ((0, 0), (1, 1), (1, wp - w - 1), (0, cp - c))
+    ).astype(jnp.bfloat16)
+    if cp != c:
+        a = jnp.pad(a, ((0, 0), (0, cp - c)))
+        bb = jnp.pad(bb, ((0, 0), (0, cp - c)))
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cp - c), (0, 0)))
+    th = _pick_th(h, w, cp)
+    co_blk = co
+    if co > 256:  # bound the (3,3,C,co_blk) weight block + f32 accumulator
+        # lane constraint: co_blk must be a multiple of 128 or equal co
+        for cand in (256, 128):
+            if co % cand == 0:
+                co_blk = cand
+                break
     grid = (b, h // th, co // co_blk)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, th=th, height=h, width=w),
+        functools.partial(_kernel, th=th, height=h, width=w, wp=wp),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, c), lambda bi, hi, ci: (bi, 0)),  # a
-            pl.BlockSpec((1, c), lambda bi, hi, ci: (bi, 0)),  # b
-            pl.BlockSpec((3, 3, c, co_blk), lambda bi, hi, ci: (0, 0, 0, ci)),
+            # (B, 1, C) so the blocked last-two dims (1, c) span the array
+            # exactly — Mosaic requires last-two block dims divisible by
+            # (8, 128) or equal to the array dims; a (1, C) block on a
+            # (B, C) array fails that on hardware when B % 8 != 0.
+            pl.BlockSpec((1, 1, cp), lambda bi, hi, ci: (bi, 0, 0)),  # a
+            pl.BlockSpec((1, 1, cp), lambda bi, hi, ci: (bi, 0, 0)),  # b
+            pl.BlockSpec((3, 3, cp, co_blk), lambda bi, hi, ci: (0, 0, 0, ci)),
             pl.BlockSpec((1, co_blk), lambda bi, hi, ci: (0, ci)),
             pl.BlockSpec(memory_space=pl.ANY),  # xp: manual halo DMA
         ],
         out_specs=pl.BlockSpec((1, th, w, co_blk), lambda bi, hi, ci: (bi, hi, 0, ci)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, co), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, w + 2, c), jnp.bfloat16),
+            pltpu.VMEM((th + 2, wp, cp), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "parallel"),
+            # f32 normalize/accumulate intermediates exceed the 16M default
+            # scoped-vmem stack at SDXL channel widths; v5e has 128M VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(a, bb, kernel.astype(jnp.bfloat16), bias.reshape(1, co).astype(jnp.float32), xp)
+    )(a[:, None, :], bb[:, None, :], kernel.astype(jnp.bfloat16),
+      bias.reshape(1, co).astype(jnp.float32), xp)
     return out

@@ -64,7 +64,10 @@ def test_window_attention_hardware_parity(h):
     )
     got = np.asarray(fused_window_attention(q, k, v, bias, mask, use_pallas=True))
     want = np.asarray(_reference(q, k, v, bias, mask))
-    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+    # tolerance sized for the kernel's bf16 MXU dots (the XLA reference
+    # runs f32): max observed on v5e is 7.4e-3, matching the error of a
+    # bf16-rounded-input f32 reference (7.7e-3) — rounding, not a bug
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
 
 @pytest.mark.parametrize("h", [12, 24])
