@@ -127,12 +127,33 @@ def bench_packed_kernel():
                           "value": round(t * 1e3, 3)}), flush=True)
 
 
+ALL_VARIANTS = {
+    "packed": bench_packed_kernel,
+    "b1": lambda: bench_unet(1),
+    "b4": lambda: bench_unet(4),
+    "im2col": lambda: bench_unet(4, conv_matmul=True),
+    "tapsum": lambda: bench_unet(4, conv_matmul="tapsum"),
+    "fused": lambda: bench_unet(4, conv_matmul="fused"),
+    "fused_b1": lambda: bench_unet(1, conv_matmul="fused"),
+    "int8": lambda: bench_unet(4, int8=True),
+    "int8_fused": lambda: bench_unet(4, conv_matmul="fused", int8=True),
+    "swin": lambda: bench_swin(False),
+    "swin_fused": lambda: bench_swin(True),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip_swin", action="store_true")
     ap.add_argument("--skip_unet", action="store_true")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma list from: " + ",".join(ALL_VARIANTS))
     args = ap.parse_args()
     print(json.dumps({"devices": str(jax.devices())}), flush=True)
+    if args.only:
+        for name in args.only.split(","):
+            ALL_VARIANTS[name]()
+        return
     bench_packed_kernel()
     if not args.skip_unet:
         for B in (1, 4):
