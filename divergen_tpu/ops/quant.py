@@ -58,6 +58,12 @@ def int8_matmul(x: Array, w_q: Array, w_scale: Array,
     and the dequant fuses into the epilogue — XLA's lowering materializes
     the int32 accumulator in HBM, which erases the int8 win at SDXL sizes.
     """
+    if w_q.dtype != jnp.int8:
+        raise ValueError(
+            f"int8_matmul needs int8 weights, got {w_q.dtype} — the param "
+            "tree was not run through quantize_param_tree (or was dtype-cast "
+            "after quantization)"
+        )
     lead = x.shape[:-1]
     m = 1
     for s in lead:

@@ -39,12 +39,16 @@ def bench_unet(B, conv_matmul=False, int8=False):
     from divergen_tpu.pipeline.generation.unet import UNetSDXL, transformer_quant_select
 
     unet = UNetSDXL(dtype=jnp.bfloat16, conv_matmul=conv_matmul, quant=int8)
+    # init with the FLOAT module (plain `kernel` leaves) and quantize the
+    # cast tree afterwards — initializing the quant module and then
+    # blanket-casting would silently turn the int8 kernel_q params bf16
+    float_unet = unet.clone(quant=False) if int8 else unet
     lat = jnp.zeros((B, 128, 128, 4), jnp.float32)
     ctx = jnp.zeros((2 * B, 77, 2048), jnp.bfloat16)
     pooled = jnp.zeros((2 * B, 1280), jnp.bfloat16)
     tids = jnp.zeros((2 * B, 6), jnp.float32)
-    params = jax.jit(unet.init)(jax.random.PRNGKey(0), lat[:1], jnp.zeros((1,)),
-                                ctx[:1], pooled[:1], tids[:1])
+    params = jax.jit(float_unet.init)(jax.random.PRNGKey(0), lat[:1], jnp.zeros((1,)),
+                                      ctx[:1], pooled[:1], tids[:1])
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     if int8:
         from divergen_tpu.ops.quant import quantize_param_tree
