@@ -19,6 +19,9 @@ from jax import Array
 
 from .scheduler import (
     SchedulerConfig,
+    dpmpp_2m_step,
+    dpmpp_init_noise_scale,
+    dpmpp_timesteps_sigmas,
     euler_init_noise_scale,
     euler_scale_input,
     euler_sigmas,
@@ -44,6 +47,7 @@ class SDXLPipeline:
         encoder_reuse: bool = False,
         int8: bool = False,
         mesh=None,  # jax.sharding.Mesh with a "data" axis → batch sharded
+        sampler: str = "euler",  # euler (SDXL DiffusionPipeline default) | dpmpp_2m
     ):
         # int8: W8A8 dynamic quantization of the transformer matmuls
         # (ops/quant.py; v5e int8 MXU = 2x bf16 peak). ``unet`` must be
@@ -76,7 +80,19 @@ class SDXLPipeline:
             self.unet_params = jax.device_put(self.unet_params, self._replicated)
             if self.vae_params is not None:
                 self.vae_params = jax.device_put(self.vae_params, self._replicated)
-        ts, sigmas = euler_sigmas(self.sched, steps)
+        if sampler not in ("euler", "dpmpp_2m"):
+            raise ValueError(f"unknown sampler {sampler!r}")
+        self.sampler = sampler
+        if sampler == "dpmpp_2m":
+            # DPM-Solver++ 2M: the standard quality-neutral 25–30-step
+            # setting (~2x fewer UNet evals than Euler-50 at equal quality)
+            if encoder_reuse:
+                raise ValueError("encoder_reuse is Euler-only")
+            ts, sigmas = dpmpp_timesteps_sigmas(self.sched, steps)
+            self._init_scale = dpmpp_init_noise_scale(sigmas)
+        else:
+            ts, sigmas = euler_sigmas(self.sched, steps)
+            self._init_scale = euler_init_noise_scale(sigmas)
         self._ts = jnp.asarray(ts, jnp.float32)
         self._sigmas = jnp.asarray(sigmas, jnp.float32)
         self._denoise = jax.jit(self._denoise_fn)
@@ -116,6 +132,24 @@ class SDXLPipeline:
             eps_u, eps_c = jnp.split(eps2, 2, axis=0)
             eps = eps_u + g * (eps_c - eps_u)
             return euler_step(lat, eps.astype(lat.dtype), sigmas[i], sigmas[i + 1])
+
+        if self.sampler == "dpmpp_2m":
+            # multistep: carry the previous step's x0 prediction
+
+            def body(carry, i):
+                lat, x0_prev = carry
+                x2, t2 = unet_in(lat, i)
+                eps2 = self.unet.apply(unet_params, x2, t2, ctx, pl, tid)
+                eps_u, eps_c = jnp.split(eps2, 2, axis=0)
+                eps = (eps_u + g * (eps_c - eps_u)).astype(lat.dtype)
+                x0 = lat - sigmas[i] * eps
+                lat = dpmpp_2m_step(lat, x0, x0_prev, i, sigmas, self.steps)
+                return (lat, x0), None
+
+            (latents, _), _ = jax.lax.scan(
+                body, (latents, jnp.zeros_like(latents)), jnp.arange(self.steps)
+            )
+            return latents
 
         if not self.encoder_reuse:
 
@@ -169,10 +203,7 @@ class SDXLPipeline:
     ):
         b = context.shape[0]
         lat_shape = (b, height // 8, width // 8, self.unet.in_channels)
-        latents = (
-            jax.random.normal(rng, lat_shape, jnp.float32)
-            * euler_init_noise_scale(np.asarray(self._sigmas))
-        )
+        latents = jax.random.normal(rng, lat_shape, jnp.float32) * self._init_scale
         if self.mesh is not None:
             latents = jax.device_put(latents, self._batch_sharding)
             context = jax.device_put(context, self._batch_sharding)

@@ -90,3 +90,70 @@ def euler_step(latents: Array, eps: Array, sigma: Array, sigma_next: Array) -> A
 
 def euler_init_noise_scale(sigmas: np.ndarray) -> float:
     return float(sigmas[0])
+
+
+# ---------------- DPM-Solver++ 2M (multistep) ----------------
+# Counterpart of diffusers DPMSolverMultistepScheduler(algorithm_type=
+# "dpmsolver++", solver_order=2, final_sigmas_type="zero") — the standard
+# quality-neutral 25–30-step SDXL setting (the reference loads schedulers
+# via DiffusionPipeline, txt2img_diffusers_stages_from_txt.py:136-198).
+#
+# Implemented in the UNSCALED sigma parametrization (x = x0 + σ·ε) so the
+# pipeline's euler_scale_input + pred_x0 stay shared with Euler. This is
+# trajectory-identical to diffusers' VP-space update: with α=1/√(σ²+1),
+# λ=−log σ, h=λ₊−λ, diffusers'
+#   x_t ← (σvp₊/σvp)·x_t − α₊(e^{−h}−1)·(x0 + ½·D1)
+# divided through by α₊ gives
+#   x ← (σ₊/σ)·x + (1 − σ₊/σ)·(x0 + ½·D1),  D1 = (x0 − x0_prev)·h/h₀
+# (tests/parity/test_dpmpp_parity.py pins this against a stateful VP-space
+# replica of the diffusers scheduler).
+
+
+def dpmpp_timesteps_sigmas(cfg: SchedulerConfig, steps: int,
+                           karras: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+    """(timesteps (S,), sigmas (S+1,), last sigma 0) — diffusers 'linspace'
+    spacing for the multistep solver: S+1 rounded points, last dropped."""
+    ac = cfg.alphas_cumprod
+    sigmas_full = np.sqrt((1 - ac) / ac)
+    ts = (
+        np.linspace(0, cfg.num_train_timesteps - 1, steps + 1)
+        .round()[::-1][:-1]
+        .copy()
+        .astype(np.float64)
+    )
+    sig = np.interp(ts, np.arange(len(sigmas_full)), sigmas_full)
+    if karras:
+        # diffusers _convert_to_karras (rho=7) + _sigma_to_t log-interp
+        rho = 7.0
+        smin, smax = sig[-1], sig[0]
+        ramp = np.linspace(0, 1, steps)
+        sig = (smax ** (1 / rho) + ramp * (smin ** (1 / rho) - smax ** (1 / rho))) ** rho
+        log_full = np.log(sigmas_full)
+        ts = np.interp(np.log(sig), log_full, np.arange(len(sigmas_full)))
+    return ts, np.concatenate([sig, [0.0]]).astype(np.float32)
+
+
+def dpmpp_init_noise_scale(sigmas: np.ndarray) -> float:
+    """diffusers DPMSolver init_noise_sigma is 1.0 in VP space; unscaled
+    space multiplies by 1/α₀ = √(σ₀²+1)."""
+    return float(np.sqrt(float(sigmas[0]) ** 2 + 1.0))
+
+
+def dpmpp_2m_step(latents: Array, pred_x0: Array, pred_x0_prev: Array,
+                  i: Array, sigmas: Array, num_steps: int) -> Array:
+    """One DPM-Solver++ 2M update in unscaled space (scan-friendly: `i` may
+    be traced). First-order at i==0 (no history) and at the final step
+    (σ₊=0 ⇒ diffusers' final_sigmas_type="zero" branch); midpoint
+    second-order elsewhere."""
+    sig = sigmas[i]
+    sig_next = sigmas[i + 1]
+    sig_prev = sigmas[jnp.maximum(i - 1, 0)]
+    r = sig_next / jnp.maximum(sig, 1e-20)
+    use_first = jnp.logical_or(i == 0, i == num_steps - 1)
+    # h = λ₊−λ = log(σ/σ₊); h₀ = λ−λ₋ = log(σ₋/σ); r0 = h₀/h
+    h = jnp.log(sig) - jnp.log(jnp.maximum(sig_next, 1e-20))
+    h0 = jnp.log(sig_prev) - jnp.log(sig)
+    r0 = h0 / h
+    d1 = (pred_x0 - pred_x0_prev) / jnp.where(use_first, 1.0, r0)
+    x0_eff = jnp.where(use_first, pred_x0, pred_x0 + 0.5 * d1)
+    return r * latents + (1.0 - r) * x0_eff

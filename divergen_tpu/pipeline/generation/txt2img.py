@@ -48,6 +48,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--sampler", type=str, default="euler",
+                   choices=["euler", "dpmpp_2m"],
+                   help="euler = SDXL DiffusionPipeline default; dpmpp_2m = "
+                        "DPM-Solver++ 2M (use with --steps 25-30, ~2x faster "
+                        "at equal quality; parity-pinned vs diffusers)")
     p.add_argument("--guidance", type=float, default=7.5)
     p.add_argument("--tiny", action="store_true", help="tiny random model (smoke/test)")
     p.add_argument("--int8", action="store_true",
@@ -127,6 +132,7 @@ def _build_pipeline(args):
         encoder_reuse=getattr(args, "encoder_reuse", False),
         int8=int8,
         mesh=mesh,
+        sampler=getattr(args, "sampler", "euler"),
     ), ctx_dim
 
 
