@@ -3,9 +3,12 @@
 Measures the BASELINE.json headline: generated+filtered+pasted instances
 per hour per chip, through the real on-device graphs of every stage:
 
-  1. SDXL-base UNet (2.6B) 1024² 50-step CFG denoise + VAE decode (bf16,
-     one lax.scan) — per-step time measured by differencing two scan
-     lengths, scaled to 50 steps
+  1. SDXL-base UNet (2.6B) 1024² CFG denoise + VAE decode (bf16, one
+     lax.scan) — per-step time measured by differencing two scan lengths,
+     scaled to the sampler's step count (headline: DPM-Solver++ 2M @ 25
+     steps, the standard quality-neutral setting, parity-pinned against
+     diffusers in tests/parity/test_dpmpp_parity.py; --sampler euler
+     --steps 50 reproduces the reference DiffusionPipeline default)
   2. SAM ViT-H corner-prompt mask extraction at 1024²
   3. CLIP ViT-L/14 score+similarity at 224²
   4. on-device copy-paste compositing at 896² (4 pastes/img)
@@ -70,11 +73,16 @@ def _diff_time(run_k, k_small, k_big, probe):
     return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
 
-def bench_sdxl(steps_full=50, B=1, int8=False):
+def bench_sdxl(steps_full=50, B=1, int8=False, sampler="euler"):
     import jax
     import jax.numpy as jnp
 
-    from divergen_tpu.pipeline.generation.scheduler import euler_sigmas, make_scheduler
+    from divergen_tpu.pipeline.generation.scheduler import (
+        dpmpp_2m_step,
+        dpmpp_timesteps_sigmas,
+        euler_sigmas,
+        make_scheduler,
+    )
     from divergen_tpu.pipeline.generation.unet import (
         UNetSDXL,
         transformer_quant_select,
@@ -103,21 +111,46 @@ def bench_sdxl(steps_full=50, B=1, int8=False):
             lambda p: quantize_param_tree(p, select=transformer_quant_select)
         )(params)
     sched = make_scheduler("scaled_linear")
-    ts, sigmas = euler_sigmas(sched, steps_full)
+    if sampler == "dpmpp_2m":
+        ts, sigmas = dpmpp_timesteps_sigmas(sched, steps_full)
+    else:
+        ts, sigmas = euler_sigmas(sched, steps_full)
     ts_j = jnp.asarray(ts, jnp.float32)
     sig_j = jnp.asarray(sigmas, jnp.float32)
 
     def make_runner(k):
+        # one UNet CFG eval per step for BOTH samplers (DPM-Solver++ 2M is
+        # multistep, not multi-eval) — only the cheap latent update differs
+        def eps_at(params, l, i):
+            x = l / jnp.sqrt(sig_j[i] ** 2 + 1.0)
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.broadcast_to(ts_j[i], (2 * B,))
+            eps2 = unet.apply(params, x2, t2, ctx, pooled, tids)
+            eu, ec = jnp.split(eps2, 2, axis=0)
+            return (eu + 7.5 * (ec - eu)).astype(l.dtype)
+
+        if sampler == "dpmpp_2m":
+
+            @jax.jit
+            def run(params, latents):
+                def body(carry, i):
+                    l, x0_prev = carry
+                    x0 = l - sig_j[i] * eps_at(params, l, i)
+                    l = dpmpp_2m_step(l, x0, x0_prev, i, sig_j, steps_full)
+                    return (l, x0), None
+
+                (out, _), _ = jax.lax.scan(
+                    body, (latents, jnp.zeros_like(latents)), jnp.arange(k)
+                )
+                return out
+
+            return run
+
         @jax.jit
         def run(params, latents):
             def body(l, i):
-                x = l / jnp.sqrt(sig_j[i] ** 2 + 1.0)
-                x2 = jnp.concatenate([x, x], axis=0)
-                t2 = jnp.broadcast_to(ts_j[i], (2 * B,))
-                eps2 = unet.apply(params, x2, t2, ctx, pooled, tids)
-                eu, ec = jnp.split(eps2, 2, axis=0)
-                eps = eu + 7.5 * (ec - eu)
-                pred_x0 = l - sig_j[i] * eps.astype(l.dtype)
+                eps = eps_at(params, l, i)
+                pred_x0 = l - sig_j[i] * eps
                 d = (l - pred_x0) / jnp.maximum(sig_j[i], 1e-9)
                 return l + (sig_j[i + 1] - sig_j[i]) * d, None
 
@@ -262,7 +295,15 @@ def main():
     # (launch/fusion-barrier overhead), numbers in STATUS.md
     ap.add_argument("--B", type=int, default=4)
     ap.add_argument("--int8", action="store_true")
-    ap.add_argument("--steps", type=int, default=50)
+    # dpmpp_2m @ 25 steps is the headline: the standard quality-neutral
+    # production setting (2x fewer UNet evals than Euler-50 at equal
+    # quality), parity-pinned against diffusers DPMSolverMultistepScheduler
+    # in tests/parity/test_dpmpp_parity.py. --sampler euler reproduces the
+    # reference DiffusionPipeline default (Euler-50); both numbers are
+    # recorded in STATUS.md.
+    ap.add_argument("--sampler", choices=["euler", "dpmpp_2m"], default="dpmpp_2m")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="default: 25 for dpmpp_2m, 50 for euler")
     ap.add_argument("--gen_only", action="store_true")
     ap.add_argument("--skip_probe", action="store_true",
                     help="skip the backend-availability preflight")
@@ -283,10 +324,13 @@ def main():
             }))
             return
 
-    t_gen = bench_sdxl(steps_full=args.steps, B=args.B, int8=args.int8)
+    steps = args.steps or (25 if args.sampler == "dpmpp_2m" else 50)
+    t_gen = bench_sdxl(steps_full=steps, B=args.B, int8=args.int8,
+                       sampler=args.sampler)
     if args.gen_only:
         print(json.dumps({"metric": "sdxl_s_per_img", "value": round(t_gen, 4),
-                          "unit": f"s/img B={args.B} int8={args.int8}",
+                          "unit": f"s/img B={args.B} int8={args.int8} "
+                                  f"{args.sampler}-{steps}",
                           "vs_baseline": 0}))
         return
     t_sam = bench_sam()
@@ -300,7 +344,8 @@ def main():
                 "metric": "gen_filter_paste_instances_per_hr_per_chip",
                 "value": round(rate_hr, 1),
                 "unit": (
-                    f"inst/hr (SDXL-1024²-50step {t_gen:.2f}s + SAM-H {t_sam:.3f}s "
+                    f"inst/hr (SDXL-1024²-{args.sampler}-{steps}step {t_gen:.2f}s "
+                    f"+ SAM-H {t_sam:.3f}s "
                     f"+ CLIP-L {t_clip:.4f}s + paste {t_paste * 1e3:.2f}ms per inst)"
                 ),
                 "vs_baseline": round(rate_hr / 2000.0, 3),

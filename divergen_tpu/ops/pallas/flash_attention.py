@@ -343,6 +343,8 @@ def flash_attention_packed(
     # shapes that can't tile to 128 lanes take the transposed flash path.
     if heads_per_block is None:
         hpb = 1 if d % 128 == 0 else (2 if (2 * d) % 128 == 0 and h % 2 == 0 else 0)
+        if hpb == 0 and interpret:
+            hpb = 1  # lane constraint is hardware-only; interpreter can run any width
     else:
         hpb = heads_per_block if (heads_per_block == 2 and h % 2 == 0) else 1
         if (hpb * d) % 128 and not interpret:

@@ -73,7 +73,7 @@ def _kernel(a_ref, b_ref, w_ref, bias_ref, xp_ref, o_ref, slab, sem, *,
 
 
 def _pick_th(h: int, w: int, c: int, budget_bytes: int = 4 << 20) -> int:
-    row = (w + 2) * c * 2  # bf16 slab row
+    row = (-(-(w + 2) // 8) * 8) * c * 2  # bf16 slab row at 8-aligned width (wp)
     th = max(1, budget_bytes // row - 2)
     for cand in (64, 32, 16, 8, 4, 2, 1):
         if cand <= th and h % cand == 0:

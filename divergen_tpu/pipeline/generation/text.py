@@ -105,3 +105,67 @@ class SDXLTextEncoder:
             self.params_l, self.params_g, jnp.asarray(tok_l), jnp.asarray(tok_g)
         )
         return ctx, pooled
+
+    def encode_sliced(self, prompts: List[str], ctx_dim: int):
+        """Prompt-faithful conditioning at an arbitrary context width: the
+        concatenated tower hidden states sliced to ``ctx_dim``. Used for the
+        stage-III x4 upscaler when no dedicated upscaler text tower is
+        loaded (the reference conditions stage 3 on the prompt through the
+        x4 pipeline's own encoder,
+        txt2img_diffusers_stages_from_txt.py:313-325; slicing real SDXL
+        features keeps the upscale prompt-conditioned without a second
+        checkpoint)."""
+        ctx, _ = self.encode(prompts)
+        if ctx.shape[-1] < ctx_dim:
+            import jax.numpy as jnp
+
+            pad = jnp.zeros(ctx.shape[:-1] + (ctx_dim - ctx.shape[-1],), ctx.dtype)
+            return jnp.concatenate([ctx, pad], axis=-1)
+        return ctx[..., :ctx_dim]
+
+
+def tower_from_params(params, act: str = "gelu", dtype=None) -> CLIPText:
+    """Build a CLIPText module matching a converted checkpoint's shapes.
+
+    Used for the SD-x4-upscaler's own text tower (OpenCLIP ViT-H in HF
+    CLIPTextModel layout: width 1024, 23 layers, exact gelu — the encoder
+    the reference's stage-3 DiffusionPipeline applies to the prompt)."""
+    import jax.numpy as jnp
+
+    p = params["params"] if "params" in params else params
+    width = int(np.asarray(p["positional_embedding"]).shape[1])
+    vocab = int(np.asarray(p["token_embedding"]["embedding"]).shape[0])
+    layers = sum(1 for k in p if k.startswith("resblock"))
+    return CLIPText(
+        embed_dim=int(np.asarray(p["text_projection"]).shape[-1]),
+        width=width, heads=max(width // 64, 1), layers=layers,
+        vocab_size=vocab, act=act, dtype=dtype or jnp.float32,
+    )
+
+
+class UpscalerTextEncoder:
+    """Stage-III prompt conditioning through a dedicated CLIP tower.
+
+    SD-x4-upscaler convention: FINAL-layer hidden states (the HF checkpoint
+    ships with the last layer already dropped), padded with EOT like
+    diffusers' CLIPTokenizer."""
+
+    def __init__(self, params, bpe_path: str = "", tower: Optional[CLIPText] = None):
+        import jax
+
+        self.tower = tower or tower_from_params(params)
+        self.params = params
+        self.tokenizer = (
+            SimpleTokenizer(bpe_path=bpe_path) if bpe_path
+            else SimpleTokenizer(merges=[])
+        )
+        self._fwd = jax.jit(
+            lambda p, tok: self.tower.apply(p, tok, return_sequence=True)[1]
+        )
+
+    def encode(self, prompts: List[str], ctx_dim: Optional[int] = None):
+        import jax.numpy as jnp
+
+        tok = self.tokenizer.tokenize(prompts, pad_id=self.tokenizer.eot)
+        ctx = self._fwd(self.params, jnp.asarray(tok))
+        return ctx.astype(jnp.float32)

@@ -38,6 +38,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="SDXL text tower 1 (CLIP ViT-L/14, HF or openai layout)")
     p.add_argument("--text_ckpt_g", type=str, default="",
                    help="SDXL text tower 2 (OpenCLIP ViT-bigG/14 w/ projection)")
+    p.add_argument("--text_ckpt_up", type=str, default="",
+                   help="x4-upscaler text tower checkpoint (OpenCLIP ViT-H "
+                        "in HF CLIPTextModel layout); without it stage III "
+                        "conditions on the SDXL towers' features when loaded")
     p.add_argument("--vae_ckpt", type=str, default="",
                    help="diffusers AutoencoderKL checkpoint (decoder weights)")
     p.add_argument("--bpe_path", type=str, default="",
@@ -211,6 +215,17 @@ def main(argv=None) -> int:
 
         encoder = SDXLTextEncoder.random(seed=args.seed, tiny=True)
 
+    # stage-III conditioning (ref :313-325 passes the prompt to stage_3):
+    # dedicated upscaler tower > sliced SDXL-tower features > hash-random
+    up_encoder = None
+    if upscaler is not None and getattr(args, "text_ckpt_up", ""):
+        from ...utils.torch_weights import load_sdxl_text_params
+        from .text import UpscalerTextEncoder
+
+        up_encoder = UpscalerTextEncoder(
+            load_sdxl_text_params(args.text_ckpt_up), bpe_path=args.bpe_path
+        )
+
     pooled_dim = 1280
     use_pooled = not args.tiny
     if encoder is not None:
@@ -274,8 +289,15 @@ def main(argv=None) -> int:
             if upscaler is not None:
                 # stage III x4 (reference :313-325: per-image upscale loop)
                 up_ctx_dim = upscaler.unet.context_dim
-                uctx = encode_prompts_random([prompt], up_ctx_dim)
-                uunc = encode_prompts_random([""], up_ctx_dim)
+                if up_encoder is not None:
+                    uctx = up_encoder.encode([prompt])[..., :up_ctx_dim]
+                    uunc = up_encoder.encode([""])[..., :up_ctx_dim]
+                elif encoder is not None:
+                    uctx = encoder.encode_sliced([prompt], up_ctx_dim)
+                    uunc = encoder.encode_sliced([""], up_ctx_dim)
+                else:
+                    uctx = encode_prompts_random([prompt], up_ctx_dim)
+                    uunc = encode_prompts_random([""], up_ctx_dim)
                 uimgs = upscaler.upscale(
                     jax.random.fold_in(rng, 7),
                     jnp.asarray(imgs, jnp.float32),

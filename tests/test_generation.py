@@ -210,3 +210,65 @@ def test_upscale_pipeline_shapes():
     assert out.shape == (1, 32, 32, 3)
     o = np.asarray(out)
     assert np.isfinite(o).all() and o.min() >= 0 and o.max() <= 255
+
+
+def test_stage3_context_comes_from_encoder(tmp_path, monkeypatch):
+    """VERDICT r3 missing #2: with text towers loaded, the x4 upscaler must
+    condition on encoder features (ref txt2img_diffusers_stages_from_txt.py
+    :313-325 passes the prompt to stage_3), not hash-random embeddings."""
+    import jax.numpy as jnp
+
+    from divergen_tpu.pipeline.generation import txt2img
+    from divergen_tpu.pipeline.generation.upscale import UpscalePipeline
+
+    captured = {}
+    real_upscale = UpscalePipeline.upscale
+
+    def spy(self, rng, images, ctx, unc_ctx, **kw):
+        captured["ctx"] = np.asarray(ctx)
+        return real_upscale(self, rng, images, ctx, unc_ctx, **kw)
+
+    monkeypatch.setattr(UpscalePipeline, "upscale", spy)
+    prompt = "a photo of a single corgi"
+    args = [
+        "--prompt", prompt, "--outdir", str(tmp_path), "--n_samples", "1",
+        "--max_batch_size", "1", "--tiny", "--height", "64", "--width", "64",
+        "--steps", "2", "--stages", "XL", "x4", "--seed", "3",
+    ]
+    assert txt2img.main(args) == 0
+    assert "ctx" in captured
+    # reproduce what the tiny random encoder produces for this prompt:
+    # the sliced dual-tower features, NOT encode_prompts_random
+    from divergen_tpu.pipeline.generation.text import SDXLTextEncoder
+
+    enc = SDXLTextEncoder.random(seed=3, tiny=True)
+    expect = np.asarray(enc.encode_sliced([prompt], captured["ctx"].shape[-1]))
+    np.testing.assert_allclose(captured["ctx"][0], expect[0], rtol=2e-5, atol=2e-5)
+    rnd = np.asarray(
+        txt2img.encode_prompts_random([prompt], captured["ctx"].shape[-1])
+    )
+    assert not np.allclose(captured["ctx"][0], rnd[0], atol=1e-3)
+
+
+def test_upscaler_text_encoder_dedicated_tower():
+    """--text_ckpt_up path: a dedicated tower built from converted params
+    (tower_from_params) encodes prompts to (B, 77, width) final states."""
+    import jax
+
+    from divergen_tpu.pipeline.generation.text import (
+        UpscalerTextEncoder,
+        tower_from_params,
+    )
+    from divergen_tpu.modeling.text.clip import CLIPText
+
+    tower = CLIPText(embed_dim=16, width=16, heads=2, layers=2,
+                     vocab_size=49408, act="gelu")
+    tok = np.zeros((1, 77), np.int32)
+    params = jax.jit(tower.init)(jax.random.PRNGKey(0), tok)
+    rebuilt = tower_from_params(params)
+    assert (rebuilt.width, rebuilt.layers, rebuilt.vocab_size) == (16, 2, 49408)
+    enc = UpscalerTextEncoder(params, tower=tower)
+    ctx = enc.encode(["a corgi", "a tabby cat"])
+    assert ctx.shape == (2, 77, 16)
+    assert np.isfinite(np.asarray(ctx)).all()
+    assert not np.allclose(np.asarray(ctx[0]), np.asarray(ctx[1]))

@@ -66,8 +66,9 @@ def test_window_attention_hardware_parity(h):
     want = np.asarray(_reference(q, k, v, bias, mask))
     # tolerance sized for the kernel's bf16 MXU dots (the XLA reference
     # runs f32): max observed on v5e is 7.4e-3, matching the error of a
-    # bf16-rounded-input f32 reference (7.7e-3) — rounding, not a bug
-    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+    # bf16-rounded-input f32 reference (7.7e-3) — rounding, not a bug;
+    # 1e-2 keeps ~35% headroom without passing a 2.5x regression
+    np.testing.assert_allclose(got, want, atol=1e-2, rtol=1e-2)
 
 
 @pytest.mark.parametrize("h", [12, 24])

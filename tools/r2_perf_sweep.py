@@ -155,7 +155,11 @@ def main():
     args = ap.parse_args()
     print(json.dumps({"devices": str(jax.devices())}), flush=True)
     if args.only:
-        for name in args.only.split(","):
+        names = args.only.split(",")
+        unknown = sorted(set(names) - set(ALL_VARIANTS))
+        if unknown:
+            ap.error(f"unknown variant(s) {unknown}; valid: {','.join(ALL_VARIANTS)}")
+        for name in names:
             ALL_VARIANTS[name]()
         return
     bench_packed_kernel()
