@@ -494,7 +494,7 @@ _REF_DECLARED_ONLY = [
     ("MODEL.ROI_HEADS.SEG_IN_FEATURE", "p3"),
     ("MODEL.ROI_BOX_HEAD.USE_EQL_LOSS", False),
     ("MODEL.ROI_BOX_HEAD.EQL_FREQ_CAT", 200),
-    ("MODEL.REFINE_MASK.SEMANTIC_OUT_STRIDE", 4),
+    ("MODEL.REFINE_MASK.SEMANTIC_OUT_STRIDE", 8),  # ref bsgal/config.py:44
     ("MODEL.CENTERNET.FREEZE_BACKBONE", False),
     ("MODEL.CENTERNET.NO_REDUCE", False),
     ("MODEL.VIT.USE_CHECKPOINT", False),

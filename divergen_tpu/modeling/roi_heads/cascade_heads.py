@@ -83,6 +83,10 @@ class ROIHeadsConfig:
     per_paste_loss: bool = False
     mask_head_name: str = "MaskRCNNConvUpsampleHead"  # or RefineMaskHead
     sem_seg_weight: float = 0.25
+    # RefineMask (refine_mask_head.py:315-455): supervision sizes per stage
+    # and class-agnostic prediction (ref cls_agn=True clamps labels to 0)
+    stage_sup_size: Tuple[int, ...] = (14, 28, 56, 112)
+    cls_agnostic_mask: bool = True
     # weak supervision on image-labeled data (detic_fast_rcnn.py:340-583,
     # detic_roi_heads.py:341-365)
     with_image_labels: bool = False
@@ -127,6 +131,8 @@ class ROIHeadsConfig:
             and (cfg.MODEL.ACTIVE.ONLY_GT_TRAIN or cfg.MODEL.ACTIVE.PER_INSTANCE),
             mask_head_name=mk.NAME,
             sem_seg_weight=mk.SEM_SEG_WEIGHT,
+            stage_sup_size=tuple(mk.STAGE_SUP_SIZE),
+            cls_agnostic_mask=mk.CLS_AGNOSTIC_MASK,
             use_sigmoid_ce=b.USE_SIGMOID_CE,
             use_fed_loss=b.USE_FED_LOSS,
             fed_loss_num_cat=b.FED_LOSS_NUM_CAT,
@@ -394,8 +400,17 @@ class CascadeROIHeads(nn.Module):
             if c.mask_head_name == "RefineMaskHead":
                 from .refine_mask_head import RefineMaskHead, SemanticBranch
 
+                n_sup = len(c.stage_sup_size)
+                stage_ncls = tuple(
+                    1 if c.cls_agnostic_mask else c.num_classes
+                    for _ in range(n_sup - 1)
+                ) + (1,)  # ref stage_num_classes=[...,1]: final stage agnostic
                 self.mask_head = RefineMaskHead(
-                    conv_dim=c.mask_conv_dim, dtype=self.dtype, name="mask_head"
+                    conv_dim=c.mask_conv_dim,
+                    stage_sup_size=c.stage_sup_size,
+                    stage_num_classes=stage_ncls,
+                    dtype=self.dtype,
+                    name="mask_head",
                 )
                 self.semantic_branch = SemanticBranch(
                     conv_dim=c.mask_conv_dim, dtype=self.dtype, name="semantic_branch"
@@ -415,26 +430,28 @@ class CascadeROIHeads(nn.Module):
             out = self.mask_head(pooled_flat)
             return out, (out,)
         from ...ops.roi_align import roi_align
+        from .refine_mask_head import compose_stage_preds
 
-        sem_feat, _ = self.semantic_branch(features[c.in_features[0]])
+        sem_feat, sem_pred = self.semantic_branch(features[c.in_features[0]])
         stride = c.strides[0]
-        n_stages = self.mask_head.num_stages
         # boxes_flat rows map to images via their leading batch grouping;
         # callers pass per-image flattened rows in order, so rebuild (B, K)
         b = sem_feat.shape[0]
         k = pooled_flat.shape[0] // b
         bx = boxes_flat.reshape(b, k, 4)
 
-        def crops_one(sf, bxi, res):
-            return roi_align(sf, bxi, res, 1.0 / stride)
+        def crop(full_map, res):
+            # SFMStage's ROIPooler (refine_mask_head.py:232-237): ROIAlignV2
+            # at the semantic feature stride
+            out = jax.vmap(lambda sf, bxi: roi_align(sf, bxi, res, 1.0 / stride))(
+                full_map, bx
+            )
+            return out.reshape(b * k, res, res, -1)
 
-        sem_crops = []
-        for st in range(n_stages):
-            res = c.mask_pooler_resolution * (2 ** st)
-            crop = jax.vmap(lambda sf, bxi: crops_one(sf, bxi, res))(sem_feat, bx)
-            sem_crops.append(crop.reshape(b * k, res, res, -1))
-        outs = self.mask_head(pooled_flat, sem_crops)
-        return outs[-1], outs
+        outs = self.mask_head(pooled_flat, sem_feat, sem_pred, crop)
+        # boundary-composed final prediction (ref :442-454); for training the
+        # per-stage logits carry the loss and this composition is unused/DCE'd
+        return compose_stage_preds(outs), outs
 
     # -- shared stage runner -------------------------------------------
     def _run_stage(self, features, boxes_flat: Array, stage: int,
@@ -704,27 +721,39 @@ class CascadeROIHeads(nn.Module):
 
         # GT mask targets: gt masks are stored as (N, S, S) crops in their
         # own box frame (see structures.masks.mask_target_in_box); resample
-        # each matched crop onto the proposal box at 28x28.
-        def targets_one(gtm, gtb, bx, mi):
+        # each matched crop onto the proposal box at the head's resolution.
+        def targets_one(gtm, gtb, bx, mi, res):
             m = gtm[mi]  # (K, S, S)
             src = gtb[mi]  # (K, 4)
             return jax.vmap(mask_target_in_box, in_axes=(0, 0, 0, None))(
-                m, src, bx, out_res
+                m, src, bx, res
             )
 
-        tgt = jax.vmap(targets_one)(gt["masks"], gt["boxes"], boxes, midx)
+        tgt = jax.vmap(lambda *a: targets_one(*a, out_res))(
+            gt["masks"], gt["boxes"], boxes, midx
+        )
         tgt = (tgt >= 0.5).astype(jnp.float32)
         if c.mask_head_name == "RefineMaskHead":
             from .refine_mask_head import refine_cross_entropy
 
-            stage_logits = [
-                lg.reshape(b * cap, lg.shape[-2], lg.shape[-1])
-                for lg in stage_logits_raw
-            ]
-            weights = tuple(0.25 * (2 ** i) for i in range(len(stage_logits)))
+            # per-stage targets at each supervision size (ref get_gt_mask
+            # :458-466 crops the gt at every stage's prediction size)
+            stage_logits, stage_targets = [], []
+            for lg in stage_logits_raw:
+                s = lg.shape[-1]
+                stage_logits.append(lg.reshape(b * cap, s, s))
+                st = jax.vmap(lambda *a, _s=s: targets_one(*a, _s))(
+                    gt["masks"], gt["boxes"], boxes, midx
+                )
+                stage_targets.append(
+                    (st >= 0.5).astype(jnp.float32).reshape(b * cap, s, s)
+                )
+            n_st = len(stage_logits)
+            # ref loss_cfg stage_instance_loss_weight=[0.25,0.5,0.75,1.0]
+            weights = tuple((i + 1) / n_st for i in range(n_st))
             return refine_cross_entropy(
-                stage_logits, tgt.reshape(b * cap, out_res, out_res),
-                ok.reshape(-1), stage_weights=weights,
+                stage_logits, stage_targets, ok.reshape(-1),
+                stage_weights=weights,
             )
         bce = optax_sigmoid_bce(logits, tgt)
         per_roi = jnp.mean(bce, axis=(2, 3))

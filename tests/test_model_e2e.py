@@ -137,8 +137,8 @@ def test_refine_mask_head_train_and_infer():
     assert "loss_mask" in losses
     assert np.isfinite(float(losses["loss_mask"]))
     dets = model.apply(params, images, sizes, training=False)
-    # refine head: final stage at 14 * 2^2 = 56
-    assert dets["mask_logits"].shape[2:] == (56, 56)
+    # refine head: final stage at 14 * 2^3 = 112 (stage_sup_size[-1])
+    assert dets["mask_logits"].shape[2:] == (112, 112)
 
 
 def test_refine_mask_with_semantic_loss():

@@ -107,9 +107,20 @@ def main():
     t1 = min(timed(1) for _ in range(2))
     t3 = min(timed(3) for _ in range(2))
     per_step = (t3 - t1) / 2
+    # achieved MFU from XLA's own flop count of the whole compiled step
+    # (fwd+bwd+adamw); v5e bf16 peak 197 TFLOP/s
+    mfu = ""
+    try:
+        ca = runners[1].lower(params, opt_state).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            mfu = f", {flops / per_step / 1e12:.1f} TFLOP/s = {flops / per_step / 197e12 * 100:.1f}% MFU (XLA-counted {flops / 1e12:.1f} TF/step)"
+    except Exception as e:  # cost_analysis availability varies by backend
+        mfu = f" (cost_analysis unavailable: {e})"
     print(
         f"swin-{args.size} {s}x{s} b{b} {args.mode}: {per_step * 1e3:.1f} ms/step, "
-        f"{3600.0 / per_step * b:.0f} imgs/hr/chip",
+        f"{3600.0 / per_step * b:.0f} imgs/hr/chip{mfu}",
         flush=True,
     )
 

@@ -100,10 +100,14 @@ def bench_swin(fused):
          *(["--fused_attn"] if fused else [])],
         capture_output=True, text=True, timeout=3000,
     )
-    tail = (out.stdout + out.stderr).strip().splitlines()
+    # stdout carries the result line; stderr (axon warnings) only matters
+    # on failure — concatenating them put a warning in `raw` once (r4)
+    lines = out.stdout.strip().splitlines()
+    raw = lines[-1] if lines else (
+        out.stderr.strip().splitlines()[-1] if out.stderr.strip() else "no output"
+    )
     print(json.dumps({"metric": f"swin_train_step_fused={fused}",
-                      "raw": tail[-1] if tail else "no output",
-                      "rc": out.returncode}), flush=True)
+                      "raw": raw, "rc": out.returncode}), flush=True)
 
 
 def bench_packed_kernel():
