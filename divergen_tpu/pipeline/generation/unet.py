@@ -35,10 +35,11 @@ class FusedLayerNorm(nn.Module):
     """nn.LayerNorm-compatible (same param names/shapes) over the fused
     Pallas kernel (ops/pallas/layer_norm.py).
 
-    NOT wired into TransformerBlock: measured end-to-end the per-call Mosaic
-    launch + fusion-barrier cost exceeds the kernel's isolated win at this
-    granularity (210 launches/step took the denoise step 119->131 ms).
-    Kept for coarse-grained callers; the lesson is recorded in STATUS."""
+    Round-2 measured this as a loss at B=1 (launch + fusion-barrier cost,
+    119->131 ms/step); the round-4 B=4 trace showed XLA LN moments at ~18x
+    the bandwidth bound (~94 ms of a 420 ms step), so it is wired back in
+    behind ``TransformerBlock.fused_ln`` / ``UNetSDXL(fused_ln=True)`` —
+    flip per measurement (SWEEP_r04.json)."""
 
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
@@ -135,6 +136,20 @@ class _ConvParams(nn.Module):
         )
 
 
+def _gn_silu(x: Array, name: str, dtype: Any, fused: bool) -> Array:
+    """GroupNorm32 + SiLU, either the XLA channel-moment path or the Pallas
+    two-pass fused kernel (ops/pallas/group_norm.py — the r4 trace showed
+    XLA's GN moment fusions at ~20x the bandwidth bound, ~52 ms of a 420 ms
+    B=4 denoise step). Identical param tree either way."""
+    if not fused:
+        return nn.silu(GroupNorm32(dtype=dtype, name=name)(x))
+    from ...ops.pallas.group_norm import fused_group_norm
+
+    c = x.shape[-1]
+    scale, bias = _GNParams(name=name)(c)
+    return fused_group_norm(x, scale, bias, math.gcd(32, c), 1e-6, True)
+
+
 class ResBlock(nn.Module):
     out_channels: int
     dtype: Any = jnp.float32
@@ -143,6 +158,7 @@ class ResBlock(nn.Module):
     # 'fused' = Pallas fused GN+SiLU+conv (ops/pallas/fused_gn_conv,
     # forward-only — generation serving)
     conv_matmul: Any = False
+    fused_gn: bool = False  # Pallas GN+SiLU (ops/pallas/group_norm.py)
 
     @nn.compact
     def __call__(self, x: Array, emb: Array) -> Array:
@@ -159,11 +175,11 @@ class ResBlock(nn.Module):
             conv = lambda name: nn.Conv(
                 self.out_channels, (3, 3), padding=1, dtype=self.dtype, name=name
             )
-        h = nn.silu(GroupNorm32(dtype=self.dtype, name="norm1")(x))
+        h = _gn_silu(x, "norm1", self.dtype, self.fused_gn)
         h = conv("conv1")(h)
         e = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(emb))
         h = h + e[:, None, None, :]
-        h = nn.silu(GroupNorm32(dtype=self.dtype, name="norm2")(h))
+        h = _gn_silu(h, "norm2", self.dtype, self.fused_gn)
         h = conv("conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
@@ -269,6 +285,7 @@ class TransformerBlock(nn.Module):
     heads: int
     dtype: Any = jnp.float32
     quant: bool = False
+    fused_ln: bool = False  # Pallas LN (ops/pallas/layer_norm.py)
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
@@ -279,6 +296,11 @@ class TransformerBlock(nn.Module):
                                    quant=self.quant, name=name)
 
         def norm(name):
+            # the r4 B=4 trace shows XLA's LN moment fusions at ~0.47 ms
+            # each on (8,1024,1280) — ~18x the bandwidth bound, ~94 ms of
+            # the 420 ms step — hence the Pallas option (same param names)
+            if self.fused_ln:
+                return FusedLayerNorm(dtype=self.dtype, name=name)
             # LN on the flattened (B*N, C) view: on (B, N, C) XLA tiles the
             # per-row moments as (B, N) with sublane=B=2, serializing the
             # lane reduction (trace: 118 us per LN, 44 GB/s); the 2D view
@@ -320,18 +342,27 @@ class SpatialTransformer(nn.Module):
     depth: int
     dtype: Any = jnp.float32
     quant: bool = False
+    fused_ln: bool = False
+    fused_gn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
         b, h, w, c = x.shape
         res = x
-        x = GroupNorm32(dtype=self.dtype, name="norm")(x)
+        if self.fused_gn:
+            from ...ops.pallas.group_norm import fused_group_norm
+
+            s_, b_ = _GNParams(name="norm")(c)
+            x = fused_group_norm(x, s_, b_, math.gcd(32, c), 1e-6, False)
+        else:
+            x = GroupNorm32(dtype=self.dtype, name="norm")(x)
         x = MaybeQuantDense(self.channels, dtype=self.dtype, quant=self.quant,
                             name="proj_in")(x)
         x = x.reshape(b, h * w, self.channels)
         for i in range(self.depth):
             x = TransformerBlock(self.channels, self.heads, self.dtype,
-                                 quant=self.quant, name=f"block{i}")(x, context)
+                                 quant=self.quant, fused_ln=self.fused_ln,
+                                 name=f"block{i}")(x, context)
         x = x.reshape(b, h, w, self.channels)
         x = MaybeQuantDense(self.channels, dtype=self.dtype, quant=self.quant,
                             name="proj_out")(x)
@@ -373,6 +404,8 @@ class UNetSDXL(nn.Module):
     num_class_embeds: Optional[int] = None  # SD-x4-upscaler: 1000 noise levels
     quant: bool = False  # int8 transformer matmuls (ops/quant.py)
     conv_matmul: Any = False  # resblock 3x3 convs as GEMMs: True/'im2col'|'tapsum'
+    fused_ln: bool = False  # Pallas LayerNorm in transformer blocks
+    fused_gn: bool = False  # Pallas GroupNorm(+SiLU) in res/transformer blocks
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -425,11 +458,13 @@ class UNetSDXL(nn.Module):
             # down
             for lvl, ch in enumerate(self.block_channels):
                 for i in range(self.layers_per_block):
-                    x = ResBlock(ch, self.dtype, self.conv_matmul, name=f"down{lvl}_res{i}")(x, emb)
+                    x = ResBlock(ch, self.dtype, self.conv_matmul,
+                                 fused_gn=self.fused_gn, name=f"down{lvl}_res{i}")(x, emb)
                     if self.transformer_depths[lvl]:
                         x = SpatialTransformer(
                             ch, ch // self.head_dim, self.transformer_depths[lvl],
-                            self.dtype, quant=self.quant, name=f"down{lvl}_attn{i}",
+                            self.dtype, quant=self.quant, fused_ln=self.fused_ln,
+                            fused_gn=self.fused_gn, name=f"down{lvl}_attn{i}",
                         )(x, context)
                     skips.append(x)
                 if lvl < len(self.block_channels) - 1:
@@ -442,26 +477,31 @@ class UNetSDXL(nn.Module):
         encoder_state = (x, tuple(skips))
         # mid
         ch = self.block_channels[-1]
-        x = ResBlock(ch, self.dtype, self.conv_matmul, name="mid_res0")(x, emb)
+        x = ResBlock(ch, self.dtype, self.conv_matmul,
+                     fused_gn=self.fused_gn, name="mid_res0")(x, emb)
         x = SpatialTransformer(
             ch, ch // self.head_dim, self.transformer_depths[-1], self.dtype,
-            quant=self.quant, name="mid_attn",
+            quant=self.quant, fused_ln=self.fused_ln, fused_gn=self.fused_gn,
+            name="mid_attn",
         )(x, context)
-        x = ResBlock(ch, self.dtype, self.conv_matmul, name="mid_res1")(x, emb)
+        x = ResBlock(ch, self.dtype, self.conv_matmul,
+                     fused_gn=self.fused_gn, name="mid_res1")(x, emb)
         # up
         for lvl in reversed(range(len(self.block_channels))):
             ch = self.block_channels[lvl]
             for i in range(self.layers_per_block + 1):
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
-                x = ResBlock(ch, self.dtype, self.conv_matmul, name=f"up{lvl}_res{i}")(x, emb)
+                x = ResBlock(ch, self.dtype, self.conv_matmul,
+                             fused_gn=self.fused_gn, name=f"up{lvl}_res{i}")(x, emb)
                 if self.transformer_depths[lvl]:
                     x = SpatialTransformer(
                         ch, ch // self.head_dim, self.transformer_depths[lvl],
-                        self.dtype, quant=self.quant, name=f"up{lvl}_attn{i}",
+                        self.dtype, quant=self.quant, fused_ln=self.fused_ln,
+                        fused_gn=self.fused_gn, name=f"up{lvl}_attn{i}",
                     )(x, context)
             if lvl > 0:
                 x = Upsample(ch, self.dtype, name=f"up{lvl}_us")(x)
-        x = nn.silu(GroupNorm32(dtype=self.dtype, name="norm_out")(x))
+        x = _gn_silu(x, "norm_out", self.dtype, self.fused_gn)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(x)
         if return_encoder:
             return x, encoder_state

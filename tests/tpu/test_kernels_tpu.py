@@ -286,3 +286,39 @@ def test_fused_gn_silu_conv_hardware_parity():
         )(x, scale, gbias, kernel, cbias))
         np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2,
                                    err_msg=f"shape {(b, h, w, c, co)}")
+
+
+# ---------------- fused GroupNorm(+SiLU) ----------------
+@pytest.mark.parametrize(
+    "shape", [(8, 128, 128, 320), (8, 64, 64, 640), (8, 32, 32, 1280)]
+)  # the three SDXL resblock shapes (C=320 exercises non-128-multiple lanes)
+@pytest.mark.parametrize("silu", [False, True])
+def test_fused_group_norm_hardware_parity(shape, silu):
+    from divergen_tpu.ops.pallas.group_norm import _reference, fused_group_norm
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(*shape) * 1.5 + 0.2, jnp.bfloat16)
+    c = shape[-1]
+    scale = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+    bias = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+    got = np.asarray(
+        fused_group_norm(x, scale, bias, 32, 1e-6, silu, use_pallas=True),
+        np.float32,
+    )
+    want = np.asarray(_reference(x, scale, bias, 32, 1e-6, silu), np.float32)
+    # bf16 I/O: one output ulp at |y| <= ~4 after the affine
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
+
+
+# ---------------- fused LayerNorm ----------------
+@pytest.mark.parametrize("rows,c", [(8192, 1280), (32768, 640)])
+def test_fused_layer_norm_hardware_parity(rows, c):
+    from divergen_tpu.ops.pallas.layer_norm import _reference, fused_layer_norm
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(rows, c), jnp.bfloat16)
+    scale = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+    bias = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+    got = np.asarray(fused_layer_norm(x, scale, bias, 1e-5), np.float32)
+    want = np.asarray(_reference(x, scale, bias, 1e-5), np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)

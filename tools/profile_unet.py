@@ -69,7 +69,25 @@ def time_step(unet, n_small=2, n_big=8, B=1):
     t_small = min(timed(n_small) for _ in range(2))
     _ = timed(n_big)
     t_big = min(timed(n_big) for _ in range(2))
-    return (t_big - t_small) / (n_big - n_small)
+    per_step = (t_big - t_small) / (n_big - n_small)
+    # roofline position from XLA's own flop count of the compiled scan body
+    # (one CFG UNet eval + latent update per scan step); v5e bf16 peak
+    # 197 TFLOP/s. Pallas kernel flops are NOT in XLA's count, so this is a
+    # lower bound on achieved MFU when the flash path is active.
+    try:
+        ca = runners[n_big].lower(params, lat).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) / n_big
+        if flops > 0:
+            print(
+                f"  XLA-counted {flops / 1e12:.2f} TF/step -> "
+                f"{flops / per_step / 1e12:.1f} TFLOP/s = "
+                f"{flops / per_step / 197e12 * 100:.1f}% MFU (pallas flops excluded)",
+                flush=True,
+            )
+    except Exception as e:
+        print(f"  cost_analysis unavailable: {e}", flush=True)
+    return per_step
 
 
 def main():
@@ -122,7 +140,7 @@ def main():
                 lambda qkv, heads, **kw: qkv[..., : qkv.shape[-1] // 3]
             )
         elif patch == "crosspallas":
-            # unet routes nk<=128 через reference_attention; patch that name
+            # unet routes nk<=128 through reference_attention; patch that name
             fa.reference_attention = lambda q, k, v, bias=None: orig(q, k, v, bias)
         elif patch == "selfxla":
             def sel(q, k, v, bias=None, **kw):

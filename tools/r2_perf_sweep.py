@@ -34,11 +34,12 @@ def _diff_time(run_k, k_small, k_big, probe):
     return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
 
-def bench_unet(B, conv_matmul=False, int8=False):
+def bench_unet(B, conv_matmul=False, int8=False, fused_ln=False, fused_gn=False):
     from divergen_tpu.pipeline.generation.scheduler import euler_sigmas, make_scheduler
     from divergen_tpu.pipeline.generation.unet import UNetSDXL, transformer_quant_select
 
-    unet = UNetSDXL(dtype=jnp.bfloat16, conv_matmul=conv_matmul, quant=int8)
+    unet = UNetSDXL(dtype=jnp.bfloat16, conv_matmul=conv_matmul, quant=int8,
+                    fused_ln=fused_ln, fused_gn=fused_gn)
     # init with the FLOAT module (plain `kernel` leaves) and quantize the
     # cast tree afterwards — initializing the quant module and then
     # blanket-casting would silently turn the int8 kernel_q params bf16
@@ -86,7 +87,10 @@ def bench_unet(B, conv_matmul=False, int8=False):
         return probes[k](params, lat)
 
     per_step = _diff_time(run_k, 2, 10, lambda o: np.asarray(o[0, ::64, ::64, 0]).sum())
-    print(json.dumps({"metric": f"unet_step_ms_B{B}_convmm{conv_matmul}_int8{int(int8)}",
+    tag = f"unet_step_ms_B{B}_convmm{conv_matmul}_int8{int(int8)}"
+    if fused_ln or fused_gn:
+        tag += f"_ln{int(fused_ln)}gn{int(fused_gn)}"
+    print(json.dumps({"metric": tag,
                       "value": round(per_step * 1e3, 2),
                       "per_img_50step_s": round(per_step * 50 / B, 3)}), flush=True)
     return per_step
@@ -135,7 +139,65 @@ def bench_packed_kernel():
                           "value": round(t * 1e3, 3)}), flush=True)
 
 
+def bench_norm_micro():
+    """Isolated LN/GN at the SDXL B=4 step shapes: XLA lowering vs the
+    Pallas kernels, per-call ms. Discriminates kernel/launch cost from
+    layout costs that only appear end-to-end. Repetition runs INSIDE one
+    jitted lax.scan (eager chain deps stall through the axon tunnel)."""
+    from divergen_tpu.ops.pallas.group_norm import (
+        _reference as gn_ref, fused_group_norm,
+    )
+    from divergen_tpu.ops.pallas.layer_norm import (
+        _reference as ln_ref, fused_layer_norm,
+    )
+
+    rng = np.random.RandomState(0)
+
+    def scan_time(name, fn, x, k_small=2, k_big=12):
+        runners = {}
+
+        def make(k):
+            @jax.jit
+            def run(x):
+                def body(c, _):
+                    return fn(c).astype(c.dtype), None
+
+                out, _ = jax.lax.scan(body, x, None, length=k)
+                return out
+
+            return run
+
+        def run_k(k):
+            if k not in runners:
+                runners[k] = make(k)
+            return runners[k](x)
+
+        t = _diff_time(run_k, k_small, k_big,
+                       lambda o: np.asarray(o).reshape(-1)[0])
+        print(json.dumps({"metric": f"norm_micro_{name}_ms",
+                          "value": round(t * 1e3, 4)}), flush=True)
+
+    g2 = jnp.asarray(rng.rand(1280) + 0.5, jnp.float32)
+    b2 = jnp.asarray(rng.randn(1280) * 0.1, jnp.float32)
+    x2 = jnp.asarray(rng.randn(8 * 1024, 1280), jnp.bfloat16)
+    scan_time("ln_xla_8192x1280", lambda x: ln_ref(x, g2, b2, 1e-5), x2)
+    scan_time("ln_pallas_8192x1280", lambda x: fused_layer_norm(x, g2, b2, 1e-5), x2)
+    g3 = jnp.asarray(rng.rand(640) + 0.5, jnp.float32)
+    b3 = jnp.asarray(rng.randn(640) * 0.1, jnp.float32)
+    x3 = jnp.asarray(rng.randn(8, 64, 64, 640), jnp.bfloat16)
+    scan_time("gn_xla_8x64x64x640", lambda x: gn_ref(x, g3, b3, 32, 1e-6, True), x3)
+    scan_time("gn_pallas_8x64x64x640",
+              lambda x: fused_group_norm(x, g3, b3, 32, 1e-6, True), x3)
+    g4 = jnp.asarray(rng.rand(320) + 0.5, jnp.float32)
+    b4 = jnp.asarray(rng.randn(320) * 0.1, jnp.float32)
+    x4 = jnp.asarray(rng.randn(8, 128, 128, 320), jnp.bfloat16)
+    scan_time("gn_xla_8x128x128x320", lambda x: gn_ref(x, g4, b4, 32, 1e-6, True), x4)
+    scan_time("gn_pallas_8x128x128x320",
+              lambda x: fused_group_norm(x, g4, b4, 32, 1e-6, True), x4)
+
+
 ALL_VARIANTS = {
+    "norm_micro": bench_norm_micro,
     "packed": bench_packed_kernel,
     "b1": lambda: bench_unet(1),
     "b4": lambda: bench_unet(4),
@@ -145,6 +207,10 @@ ALL_VARIANTS = {
     "fused_b1": lambda: bench_unet(1, conv_matmul="fused"),
     "int8": lambda: bench_unet(4, int8=True),
     "int8_fused": lambda: bench_unet(4, conv_matmul="fused", int8=True),
+    "fused_ln": lambda: bench_unet(4, fused_ln=True),
+    "fused_gn": lambda: bench_unet(4, fused_gn=True),
+    "fused_norms": lambda: bench_unet(4, fused_ln=True, fused_gn=True),
+    "fused_norms_b1": lambda: bench_unet(1, fused_ln=True, fused_gn=True),
     "swin": lambda: bench_swin(False),
     "swin_fused": lambda: bench_swin(True),
 }
