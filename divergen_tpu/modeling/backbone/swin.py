@@ -114,8 +114,8 @@ class WindowAttention(nn.Module):
         bn, n, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
-        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(bn, n, 3, self.num_heads, head_dim)
+        qkv_flat = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv_flat.reshape(bn, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (bn, n, H, d)
 
         table = self.param(
@@ -128,20 +128,23 @@ class WindowAttention(nn.Module):
         bias = bias.transpose(2, 0, 1)[None]  # (1, H, n, n)
 
         if self.fused and jax.default_backend() == "tpu":
-            # fused fwd+bwd kernel (ops/pallas/window_attention.py): the
-            # (bn, H, n, n) scores never hit HBM — round-1 profiling put
-            # ~65% of a stage-1 block in exactly that traffic
-            from ...ops.pallas.window_attention import fused_window_attention
+            # packed fused fwd+bwd kernel (ops/pallas/window_attention.py):
+            # scores never hit HBM (round-1: ~65% of a stage-1 block was
+            # exactly that traffic), and the BlockSpec index maps slice
+            # heads straight out of the fused-QKV GEMM output — the
+            # (bn,n,H,d)->(bn,H,n,d) transposes this call used to make were
+            # 58 ms of layout copies in the round-4 296 ms step trace
+            # (falls back to the transposed kernel when H can't tile 128
+            # lanes, e.g. Swin-L stage 1's H=6)
+            from ...ops.pallas.window_attention import fused_window_attention_packed
 
-            out = fused_window_attention(
-                q.transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
+            out = fused_window_attention_packed(
+                qkv_flat,
                 bias[0],
                 None if mask is None else mask.astype(jnp.float32),
-            )  # (bn, H, n, d)
-            out = out.transpose(0, 2, 1, 3).reshape(bn, n, self.dim).astype(self.dtype)
-            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+                self.num_heads,
+            )  # (bn, n, C)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out.astype(self.dtype))
 
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=jnp.float32)
         attn = attn + bias.astype(attn.dtype)

@@ -136,6 +136,37 @@ class _ConvParams(nn.Module):
         )
 
 
+class _LNParams(nn.Module):
+    """Param-holder matching nn.LayerNorm's tree (<name>/{scale,bias})."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        return (
+            self.param("scale", nn.initializers.ones_init(), (c,)),
+            self.param("bias", nn.initializers.zeros_init(), (c,)),
+        )
+
+
+class _DenseParams(nn.Module):
+    """Param-holder matching MaybeQuantDense(quant=False)'s tree
+    (<name>/{kernel[,bias]})."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (cin, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 def _gn_silu(x: Array, name: str, dtype: Any, fused: bool) -> Array:
     """GroupNorm32 + SiLU, either the XLA channel-moment path or the Pallas
     two-pass fused kernel (ops/pallas/group_norm.py — the r4 trace showed
@@ -286,6 +317,10 @@ class TransformerBlock(nn.Module):
     dtype: Any = jnp.float32
     quant: bool = False
     fused_ln: bool = False  # Pallas LN (ops/pallas/layer_norm.py)
+    # Pallas LN fused INTO the consuming GEMM (ops/pallas/ln_matmul):
+    # True/'all' = all three LN sites; 'geglu' = only norm3->GEGLU (the
+    # measured unambiguous winner, SWEEP_r04 ln_gemm_micro)
+    ln_gemm: Any = False
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
@@ -294,6 +329,28 @@ class TransformerBlock(nn.Module):
         def dense(feat, name, use_bias=True):
             return MaybeQuantDense(feat, use_bias=use_bias, dtype=self.dtype,
                                    quant=self.quant, name=name)
+
+        def ln_dense(t, feat, ln_name, dense_name, use_bias=True, geglu=False):
+            # LayerNorm folded into its consuming GEMM (ops/pallas/
+            # ln_matmul.py): every LN in this block feeds exactly one GEMM,
+            # and XLA's separate LN lowerings cost ~94 ms/step at B=4
+            # (18x the HBM bound — layout re-materialization around the
+            # moments; SWEEP_r04.json). Param tree identical to
+            # norm(ln_name) + dense(feat, dense_name).
+            from ...ops.pallas.ln_matmul import fused_ln_matmul
+
+            s_, b_ = _LNParams(name=ln_name)(c)
+            kern, dbias = _DenseParams(feat, use_bias=use_bias,
+                                       name=dense_name)(c)
+            bt, nt, _ = t.shape
+            out = fused_ln_matmul(
+                t.reshape(bt * nt, c),
+                kern.astype(self.dtype),
+                s_, b_, 1e-5,
+                None if dbias is None else dbias,
+                geglu=geglu,
+            )
+            return out.reshape(bt, nt, -1)
 
         def norm(name):
             # the r4 B=4 trace shows XLA's LN moment fusions at ~0.47 ms
@@ -308,13 +365,18 @@ class TransformerBlock(nn.Module):
             ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
             return lambda t: ln(t.reshape(-1, t.shape[-1])).reshape(t.shape)
 
-        y = norm("norm1")(x)
+        lng = self.ln_gemm if not self.quant else False
+        use_lng = lng in (True, "all")  # qkv/cross-q sites
+        use_lng_ff = lng in (True, "all", "geglu")  # GEGLU site
         # one fused (C, 3C) projection instead of three (C, C) GEMMs, feeding
         # the packed transpose-free flash kernel: the (B, N, 3, H, d) view is
         # free and the kernel slices q/k/v via BlockSpec index maps
         from ...ops.pallas.flash_attention import flash_attention_packed
 
-        qkv = dense(3 * c, "attn1_qkv", use_bias=False)(y)
+        if use_lng:
+            qkv = ln_dense(x, 3 * c, "norm1", "attn1_qkv", use_bias=False)
+        else:
+            qkv = dense(3 * c, "attn1_qkv", use_bias=False)(norm("norm1")(x))
         # escape hatch for hardware triage: DIVERGEN_PACKED_ATTN=0 routes
         # the fused projection through the proven (BH, N, D) flash kernel
         # instead of the packed BlockSpec path (same math, adds transposes)
@@ -325,15 +387,20 @@ class TransformerBlock(nn.Module):
             x = x + dense(c, "attn1_out")(_attention(q1, k1, v1, self.heads))
         else:
             x = x + dense(c, "attn1_out")(flash_attention_packed(qkv, self.heads))
-        y = norm("norm2")(x)
-        q = dense(c, "attn2_q", use_bias=False)(y)
+        if use_lng:
+            q = ln_dense(x, c, "norm2", "attn2_q", use_bias=False)
+        else:
+            q = dense(c, "attn2_q", use_bias=False)(norm("norm2")(x))
         kv = dense(2 * c, "attn2_kv", use_bias=False)(context)
         k, v = jnp.split(kv, 2, axis=-1)
         x = x + dense(c, "attn2_out")(_attention(q, k, v, self.heads))
-        y = norm("norm3")(x)
-        g = dense(8 * c, "ff_geglu")(y)
-        a, b = jnp.split(g, 2, axis=-1)
-        return x + dense(c, "ff_out")(a * nn.gelu(b, approximate=False))
+        if use_lng_ff:
+            h = ln_dense(x, 8 * c, "norm3", "ff_geglu", geglu=True)
+        else:
+            g = dense(8 * c, "ff_geglu")(norm("norm3")(x))
+            a, b = jnp.split(g, 2, axis=-1)
+            h = a * nn.gelu(b, approximate=False)
+        return x + dense(c, "ff_out")(h)
 
 
 class SpatialTransformer(nn.Module):
@@ -344,6 +411,7 @@ class SpatialTransformer(nn.Module):
     quant: bool = False
     fused_ln: bool = False
     fused_gn: bool = False
+    ln_gemm: Any = False
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
@@ -362,6 +430,7 @@ class SpatialTransformer(nn.Module):
         for i in range(self.depth):
             x = TransformerBlock(self.channels, self.heads, self.dtype,
                                  quant=self.quant, fused_ln=self.fused_ln,
+                                 ln_gemm=self.ln_gemm,
                                  name=f"block{i}")(x, context)
         x = x.reshape(b, h, w, self.channels)
         x = MaybeQuantDense(self.channels, dtype=self.dtype, quant=self.quant,
@@ -406,6 +475,7 @@ class UNetSDXL(nn.Module):
     conv_matmul: Any = False  # resblock 3x3 convs as GEMMs: True/'im2col'|'tapsum'
     fused_ln: bool = False  # Pallas LayerNorm in transformer blocks
     fused_gn: bool = False  # Pallas GroupNorm(+SiLU) in res/transformer blocks
+    ln_gemm: Any = False  # fold transformer LNs into their consuming GEMMs
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -464,7 +534,8 @@ class UNetSDXL(nn.Module):
                         x = SpatialTransformer(
                             ch, ch // self.head_dim, self.transformer_depths[lvl],
                             self.dtype, quant=self.quant, fused_ln=self.fused_ln,
-                            fused_gn=self.fused_gn, name=f"down{lvl}_attn{i}",
+                            fused_gn=self.fused_gn, ln_gemm=self.ln_gemm,
+                            name=f"down{lvl}_attn{i}",
                         )(x, context)
                     skips.append(x)
                 if lvl < len(self.block_channels) - 1:
@@ -482,7 +553,7 @@ class UNetSDXL(nn.Module):
         x = SpatialTransformer(
             ch, ch // self.head_dim, self.transformer_depths[-1], self.dtype,
             quant=self.quant, fused_ln=self.fused_ln, fused_gn=self.fused_gn,
-            name="mid_attn",
+            ln_gemm=self.ln_gemm, name="mid_attn",
         )(x, context)
         x = ResBlock(ch, self.dtype, self.conv_matmul,
                      fused_gn=self.fused_gn, name="mid_res1")(x, emb)
@@ -497,7 +568,8 @@ class UNetSDXL(nn.Module):
                     x = SpatialTransformer(
                         ch, ch // self.head_dim, self.transformer_depths[lvl],
                         self.dtype, quant=self.quant, fused_ln=self.fused_ln,
-                        fused_gn=self.fused_gn, name=f"up{lvl}_attn{i}",
+                        fused_gn=self.fused_gn, ln_gemm=self.ln_gemm,
+                        name=f"up{lvl}_attn{i}",
                     )(x, context)
             if lvl > 0:
                 x = Upsample(ch, self.dtype, name=f"up{lvl}_us")(x)

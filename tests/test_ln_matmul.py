@@ -1,0 +1,109 @@
+"""Interpret-mode parity for the fused LN+GEMM kernel (ops/pallas/ln_matmul).
+
+Hardware parity lives in tests/tpu/test_kernels_tpu.py; here the Pallas
+interpreter checks the kernel math (moment/affine fusion, scratch reuse
+across column blocks, GEGLU epilogue, bias add) against the XLA reference
+on CPU.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from divergen_tpu.ops.pallas.ln_matmul import _reference, fused_ln_matmul
+
+
+def _mk(m, k, n, dtype, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(m, k), dtype)
+    w = jnp.asarray(rng.randn(k, n) / np.sqrt(k), dtype)
+    gamma = jnp.asarray(rng.rand(k) + 0.5, jnp.float32)
+    beta = jnp.asarray(rng.randn(k) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(n) * 0.1, jnp.float32)
+    return x, w, gamma, beta, bias
+
+
+@pytest.mark.parametrize("m,k,n,bm,bn", [
+    (32, 256, 384, 16, 128),   # multiple row/col blocks (scratch reuse)
+    (16, 128, 128, 16, 128),   # single block
+    (64, 256, 1280, 32, 256),  # many column blocks
+])
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_ln_matmul_interpret(m, k, n, bm, bn, with_bias):
+    x, w, gamma, beta, bias = _mk(m, k, n, jnp.float32)
+    b = bias if with_bias else None
+    got = fused_ln_matmul(x, w, gamma, beta, 1e-5, b, bm=bm, bn=bn,
+                          use_pallas=False, interpret=True)
+    want = _reference(x, w, gamma, beta, 1e-5, b, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("m,k,n,bm,bn", [
+    (32, 256, 512, 16, 128),   # GEGLU: h/g halves 256 apart, 2 col blocks
+    (16, 128, 256, 16, 128),
+])
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_ln_matmul_geglu_interpret(m, k, n, bm, bn, with_bias):
+    x, w, gamma, beta, bias = _mk(m, k, n, jnp.float32, seed=1)
+    b = bias if with_bias else None
+    got = fused_ln_matmul(x, w, gamma, beta, 1e-5, b, geglu=True,
+                          bm=bm, bn=bn, use_pallas=False, interpret=True)
+    want = _reference(x, w, gamma, beta, 1e-5, b, True)
+    assert got.shape == (m, n // 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ln_matmul_bf16_interpret():
+    x, w, gamma, beta, bias = _mk(64, 256, 384, jnp.bfloat16, seed=2)
+    got = fused_ln_matmul(x, w, gamma, beta, 1e-5, bias, bm=32, bn=128,
+                          use_pallas=False, interpret=True)
+    want = _reference(x, w, gamma, beta, 1e-5, bias, False)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_ln_matmul_fallback_shapes():
+    # K not a 128-multiple -> XLA reference path, still correct
+    x, w, gamma, beta, bias = _mk(32, 96, 128, jnp.float32, seed=3)
+    got = fused_ln_matmul(x, w, gamma, beta, 1e-5, bias, use_pallas=True)
+    want = _reference(x, w, gamma, beta, 1e-5, bias, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_unet_ln_gemm_param_tree_and_equivalence():
+    """UNetSDXL(ln_gemm=True) accepts the default module's param tree and
+    matches its outputs (CPU: the kernel's XLA reference path — same math,
+    different fusion)."""
+    import jax
+
+    from divergen_tpu.pipeline.generation.unet import UNetSDXL
+
+    kw = dict(
+        block_channels=(32, 64),
+        transformer_depths=(0, 1),
+        layers_per_block=1,
+        head_dim=32,
+        context_dim=32,
+        addition_time_embed_dim=8,
+        pooled_proj_dim=32 + 6 * 8,
+        dtype=jnp.float32,
+    )
+    base = UNetSDXL(**kw)
+    B, H, W = 2, 16, 16
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 4))
+    t = jnp.full((B,), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, 9, 32))
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (B, 32))
+    tids = jnp.tile(
+        jnp.asarray([[H * 8, W * 8, 0, 0, H * 8, W * 8]], jnp.float32), (B, 1)
+    )
+    params = base.init(jax.random.PRNGKey(0), x, t, ctx, pooled, tids)
+    ref = base.apply(params, x, t, ctx, pooled, tids)
+    got = UNetSDXL(ln_gemm=True, **kw).apply(params, x, t, ctx, pooled, tids)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=5e-4, rtol=5e-4
+    )

@@ -81,3 +81,75 @@ def test_fused_grouping_odd_batch():
     ref = _reference(q, k, v, bias, mask)
     got = fused_window_attention(q, k, v, bias, mask, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+# ---------------- packed (transpose-free) entry ----------------
+from divergen_tpu.ops.pallas.window_attention import (  # noqa: E402
+    _reference_packed,
+    fused_window_attention_packed,
+)
+
+
+def make_packed(bsz=4, h=4, n=16, d=32, with_mask=True, nw=2, seed=7):
+    rng = np.random.RandomState(seed)
+    qkv = jnp.asarray(rng.randn(bsz, n, 3 * h * d), jnp.float32)
+    bias = jnp.asarray(rng.randn(h, n, n) * 0.1, jnp.float32)
+    mask = None
+    if with_mask:
+        m = rng.choice([0.0, -100.0], size=(nw, n, n), p=[0.8, 0.2])
+        mask = jnp.asarray(m, jnp.float32)
+    return qkv, bias, mask
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+@pytest.mark.parametrize("h,d", [(4, 32), (12, 32), (2, 128)])
+def test_packed_forward_matches_reference(with_mask, h, d):
+    """hpb=4 at d=32 (the Swin head width) incl. multiple head blocks, and
+    hpb=1 at d=128."""
+    qkv, bias, mask = make_packed(h=h, d=d, with_mask=with_mask)
+    ref = _reference_packed(qkv, bias, mask, h)
+    got = fused_window_attention_packed(qkv, bias, mask, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+@pytest.mark.parametrize("h", [4, 8])
+def test_packed_grads_match_reference(with_mask, h):
+    qkv, bias, mask = make_packed(h=h, with_mask=with_mask, seed=11)
+
+    def loss_ref(qkv, bias):
+        return jnp.sum(jnp.sin(_reference_packed(qkv, bias, mask, h)))
+
+    def loss_fused(qkv, bias):
+        return jnp.sum(jnp.sin(
+            fused_window_attention_packed(qkv, bias, mask, h, interpret=True)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1))(qkv, bias)
+    for name, a, b in zip(("qkv", "bias"), g_ref, g_fus):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-5, rtol=1e-3, err_msg=f"d{name}"
+        )
+
+
+def test_packed_head_fallback():
+    """H that can't tile 128 lanes (Swin-L stage 1: H=6, d=32) routes
+    through the transposed kernel — same result, grads included."""
+    qkv, bias, mask = make_packed(h=6, seed=13)
+    ref = _reference_packed(qkv, bias, mask, 6)
+    got = fused_window_attention_packed(qkv, bias, mask, 6, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+    def loss_fused(qkv, bias):
+        return jnp.sum(jnp.sin(
+            fused_window_attention_packed(qkv, bias, mask, 6, interpret=True)))
+
+    def loss_ref(qkv, bias):
+        return jnp.sum(jnp.sin(_reference_packed(qkv, bias, mask, 6)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1))(qkv, bias)
+    for name, a, b in zip(("qkv", "bias"), g_ref, g_fus):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-5, rtol=1e-3, err_msg=f"d{name}"
+        )

@@ -34,12 +34,13 @@ def _diff_time(run_k, k_small, k_big, probe):
     return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
 
-def bench_unet(B, conv_matmul=False, int8=False, fused_ln=False, fused_gn=False):
+def bench_unet(B, conv_matmul=False, int8=False, fused_ln=False, fused_gn=False,
+               ln_gemm=False):
     from divergen_tpu.pipeline.generation.scheduler import euler_sigmas, make_scheduler
     from divergen_tpu.pipeline.generation.unet import UNetSDXL, transformer_quant_select
 
     unet = UNetSDXL(dtype=jnp.bfloat16, conv_matmul=conv_matmul, quant=int8,
-                    fused_ln=fused_ln, fused_gn=fused_gn)
+                    fused_ln=fused_ln, fused_gn=fused_gn, ln_gemm=ln_gemm)
     # init with the FLOAT module (plain `kernel` leaves) and quantize the
     # cast tree afterwards — initializing the quant module and then
     # blanket-casting would silently turn the int8 kernel_q params bf16
@@ -90,6 +91,8 @@ def bench_unet(B, conv_matmul=False, int8=False, fused_ln=False, fused_gn=False)
     tag = f"unet_step_ms_B{B}_convmm{conv_matmul}_int8{int(int8)}"
     if fused_ln or fused_gn:
         tag += f"_ln{int(fused_ln)}gn{int(fused_gn)}"
+    if ln_gemm:
+        tag += f"_lngemm-{ln_gemm}"
     print(json.dumps({"metric": tag,
                       "value": round(per_step * 1e3, 2),
                       "per_img_50step_s": round(per_step * 50 / B, 3)}), flush=True)
@@ -196,7 +199,73 @@ def bench_norm_micro():
               lambda x: fused_group_norm(x, g4, b4, 32, 1e-6, True), x4)
 
 
+def bench_ln_gemm_micro():
+    """Fused LN+GEMM kernel vs the XLA LN->dot chain at the six SDXL
+    transformer LN sites (B=4 CFG batch 8): level-2 M=8192 K=1280 and
+    level-1 M=32768 K=640, for qkv (N=3K), cross-q (N=K) and GEGLU
+    (N=8K with the h*gelu(g) epilogue). Repetition inside one jitted
+    lax.scan; the carry feeds back a scalar of the output so nothing is
+    loop-invariant (same inflation on both arms)."""
+    from divergen_tpu.ops.pallas.ln_matmul import _reference, fused_ln_matmul
+
+    rng = np.random.RandomState(0)
+
+    def scan_time(name, fn, x, args, k=64):
+        # ONE compile per arm (remote compiles through the axon tunnel cost
+        # minutes): k iterations inside a single jitted scan, per-iteration
+        # time = total/k; the per-call dispatch RTT amortizes to <0.2 ms/k.
+        @jax.jit
+        def run(x, args):
+            def body(c, _):
+                out = fn(c, *args)
+                return c + out[0, 0].astype(c.dtype) * 1e-30, None
+
+            c, _ = jax.lax.scan(body, x, None, length=k)
+            # scalar result: returning the full carry pulls 20-40 MB back
+            # through the axon tunnel per call and dominates the timing
+            return jnp.sum(c, dtype=jnp.float32)
+
+        def timed():
+            t0 = time.perf_counter()
+            _ = float(np.asarray(run(x, args)))
+            return time.perf_counter() - t0
+
+        _ = timed()  # compile
+        t = min(timed() for _ in range(3)) / k
+        print(json.dumps({"metric": f"ln_gemm_{name}_ms",
+                          "value": round(t * 1e3, 4)}), flush=True)
+        return t
+
+    results = {}
+    for tag, m, k, nmul, geglu in [
+        ("l2_qkv", 8192, 1280, 3, False),
+        ("l2_geglu", 8192, 1280, 8, True),
+        ("l1_qkv", 32768, 640, 3, False),
+        ("l1_geglu", 32768, 640, 8, True),
+    ]:
+        n = k * nmul
+        x = jnp.asarray(rng.randn(m, k), jnp.bfloat16)
+        w = jnp.asarray(rng.randn(k, n) / np.sqrt(k), jnp.bfloat16)
+        gamma = jnp.asarray(rng.rand(k) + 0.5, jnp.float32)
+        beta = jnp.asarray(rng.randn(k) * 0.1, jnp.float32)
+        bias = jnp.asarray(rng.randn(n) * 0.1, jnp.float32)
+        args = (w, gamma, beta, bias)
+        txla = scan_time(
+            f"{tag}_xla",
+            lambda c, w_, g_, b_, bb_, gg=geglu: _reference(c, w_, g_, b_, 1e-5, bb_, gg),
+            x, args)
+        tpal = scan_time(
+            f"{tag}_pallas",
+            lambda c, w_, g_, b_, bb_, gg=geglu: fused_ln_matmul(
+                c, w_, g_, b_, 1e-5, bb_, geglu=gg),
+            x, args)
+        results[tag] = round(txla / tpal, 3)
+    print(json.dumps({"metric": "ln_gemm_speedups_xla_over_pallas",
+                      "value": results}), flush=True)
+
+
 ALL_VARIANTS = {
+    "ln_gemm_micro": bench_ln_gemm_micro,
     "norm_micro": bench_norm_micro,
     "packed": bench_packed_kernel,
     "b1": lambda: bench_unet(1),
@@ -211,6 +280,9 @@ ALL_VARIANTS = {
     "fused_gn": lambda: bench_unet(4, fused_gn=True),
     "fused_norms": lambda: bench_unet(4, fused_ln=True, fused_gn=True),
     "fused_norms_b1": lambda: bench_unet(1, fused_ln=True, fused_gn=True),
+    "ln_gemm": lambda: bench_unet(4, ln_gemm=True),
+    "ln_gemm_geglu": lambda: bench_unet(4, ln_gemm="geglu"),
+    "ln_gemm_b1": lambda: bench_unet(1, ln_gemm=True),
     "swin": lambda: bench_swin(False),
     "swin_fused": lambda: bench_swin(True),
 }
