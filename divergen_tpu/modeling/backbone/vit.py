@@ -24,6 +24,30 @@ def _rel_pos_bias(q_hw: int, k_hw: int, rel_pos: Array) -> Array:
     return rel_pos[rel]
 
 
+class _LNParams(nn.Module):
+    """Param-holder matching nn.LayerNorm's tree (<name>/{scale,bias})."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        return (
+            self.param("scale", nn.initializers.ones_init(), (c,)),
+            self.param("bias", nn.initializers.zeros_init(), (c,)),
+        )
+
+
+class _DenseParams(nn.Module):
+    """Param-holder matching nn.Dense's tree (<name>/{kernel,bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(), (cin, self.features)),
+            self.param("bias", nn.initializers.zeros_init(), (self.features,)),
+        )
+
+
 class ViTAttention(nn.Module):
     dim: int
     heads: int
@@ -32,10 +56,25 @@ class ViTAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:  # (B, H, W, C)
+    def __call__(self, x: Array, pre_ln=None) -> Array:  # (B, H, W, C)
         b, h, w, c = x.shape
         d = self.dim // self.heads
-        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        if pre_ln is not None:
+            # x is the RAW block input; the preceding LayerNorm (params
+            # owned by the caller's norm1 scope) folds into the qkv GEMM
+            # (ops/pallas/ln_matmul.py) so the normalized activation never
+            # hits HBM. Only used where no window padding sits between the
+            # norm and the projection (global-attention layers).
+            from ...ops.pallas.ln_matmul import fused_ln_matmul
+
+            ln_scale, ln_bias = pre_ln
+            kern, qbias = _DenseParams(3 * self.dim, name="qkv")(c)
+            qkv = fused_ln_matmul(
+                x.reshape(b * h * w, c), kern.astype(self.dtype),
+                ln_scale, ln_bias, 1e-6, qbias,
+            ).reshape(b, h, w, 3 * self.dim)
+        else:
+            qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, h * w, 3, self.heads, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * d**-0.5, k, preferred_element_type=jnp.float32)
@@ -77,24 +116,45 @@ class ViTBlock(nn.Module):
     heads: int
     window: int = 0  # 0 = global attention
     dtype: Any = jnp.float32
+    # fold LayerNorms into their consuming GEMMs (ops/pallas/ln_matmul.py):
+    # norm2 -> mlp_fc1 (+ in-kernel exact GELU) on every layer; norm1 -> qkv
+    # on GLOBAL layers only — window layers pad zeros AFTER norm1 (reference
+    # semantics: segment-anything image_encoder Block.forward pads the
+    # normalized tensor), so the norm can't move past the partition there.
+    ln_gemm: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         if self.window > 0:
+            y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
             yw, hw_pad = window_partition(y, self.window)
             yw = ViTAttention(
                 self.dim, self.heads, input_hw=(self.window, self.window),
                 dtype=self.dtype, name="attn",
             )(yw)
             y = window_unpartition(yw, self.window, hw_pad, (h, w))
+        elif self.ln_gemm:
+            ln1 = _LNParams(name="norm1")(c)
+            y = ViTAttention(self.dim, self.heads, input_hw=(h, w),
+                             dtype=self.dtype, name="attn")(x, pre_ln=ln1)
         else:
+            y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
             y = ViTAttention(self.dim, self.heads, input_hw=(h, w), dtype=self.dtype, name="attn")(y)
         x = x + y
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y, approximate=False)
+        if self.ln_gemm:
+            from ...ops.pallas.ln_matmul import fused_ln_matmul
+
+            s2, b2 = _LNParams(name="norm2")(c)
+            k1, fb1 = _DenseParams(4 * self.dim, name="mlp_fc1")(c)
+            y = fused_ln_matmul(
+                x.reshape(b * h * w, c), k1.astype(self.dtype),
+                s2, b2, 1e-6, fb1, act="gelu",
+            ).reshape(b, h, w, 4 * self.dim)
+        else:
+            y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+            y = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(y)
+            y = nn.gelu(y, approximate=False)
         return x + nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
 
 
@@ -108,6 +168,7 @@ class ViT(nn.Module):
     window: int = 14
     global_layers: Tuple[int, ...] = (2, 5, 8, 11)
     dtype: Any = jnp.float32
+    ln_gemm: bool = False  # fold LNs into consuming GEMMs (ViTBlock)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -118,7 +179,8 @@ class ViT(nn.Module):
         x = x + pos[None, :h, :w].astype(x.dtype)
         for i in range(self.layers):
             win = 0 if i in self.global_layers else self.window
-            x = ViTBlock(self.dim, self.heads, win, self.dtype, name=f"block{i}")(x)
+            x = ViTBlock(self.dim, self.heads, win, self.dtype,
+                         ln_gemm=self.ln_gemm, name=f"block{i}")(x)
         return x  # (B, H/16, W/16, C)
 
 

@@ -56,7 +56,8 @@ def _erf(x):
     return jnp.sign(x) * y
 
 
-def _kernel(x_ref, w_ref, g_ref, b_ref, bias_ref, o_ref, xn_scr, *, eps, has_bias):
+def _kernel(x_ref, w_ref, g_ref, b_ref, bias_ref, o_ref, xn_scr, *, eps,
+            has_bias, act):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -75,6 +76,8 @@ def _kernel(x_ref, w_ref, g_ref, b_ref, bias_ref, o_ref, xn_scr, *, eps, has_bia
     )
     if has_bias:
         acc = acc + bias_ref[0].astype(jnp.float32)
+    if act == "gelu":  # exact-form, matches nn.gelu(approximate=False)
+        acc = 0.5 * acc * (1.0 + _erf(acc * 0.7071067811865476))
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
@@ -104,7 +107,7 @@ def _kernel_geglu(x_ref, wh_ref, wg_ref, g_ref, b_ref, bh_ref, bg_ref,
     o_ref[...] = (h * gate).astype(o_ref.dtype)
 
 
-def _reference(x, w, gamma, beta, eps, bias, geglu):
+def _reference(x, w, gamma, beta, eps, bias, geglu, act="none"):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
@@ -116,6 +119,8 @@ def _reference(x, w, gamma, beta, eps, bias, geglu):
     if geglu:
         h, gate = jnp.split(out, 2, axis=-1)
         out = h * jax.nn.gelu(gate, approximate=False)
+    elif act == "gelu":
+        out = jax.nn.gelu(out, approximate=False)
     return out.astype(x.dtype)
 
 
@@ -127,6 +132,7 @@ def fused_ln_matmul(
     eps: float = 1e-5,
     bias: Array | None = None,  # (N,) matmul bias
     geglu: bool = False,  # epilogue: split N/2, h * gelu(g) -> (M, N/2)
+    act: str = "none",  # 'gelu' epilogue on the plain path (ViT/SAM MLPs)
     bm: int = 512,  # large row blocks: the whole w streams once per row
     # block, so HBM w-traffic = (m/bm)·|w| — bm=256 cost the l2 qkv site
     # 0.38 ms of pure weight re-reads (measured, SWEEP_r04 ln_gemm_micro);
@@ -152,7 +158,7 @@ def fused_ln_matmul(
         and (n % 128 == 0)
     )
     if not ok:
-        return _reference(x, w, gamma, beta, eps, bias, geglu)
+        return _reference(x, w, gamma, beta, eps, bias, geglu, act)
     bm = min(bm, m)
     while m % bm:
         bm //= 2
@@ -161,7 +167,7 @@ def fused_ln_matmul(
     while cols % bn:
         bn //= 2
     if bm < 8 or bn < 128:
-        return _reference(x, w, gamma, beta, eps, bias, geglu)
+        return _reference(x, w, gamma, beta, eps, bias, geglu, act)
 
     grid = (m // bm, cols // bn)
     xspec = pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
@@ -179,7 +185,7 @@ def fused_ln_matmul(
         bspec = pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
         zb = bias.reshape(1, n) if has_bias else jnp.zeros((1, n), x.dtype)
         return pl.pallas_call(
-            functools.partial(_kernel, eps=eps, has_bias=has_bias),
+            functools.partial(_kernel, eps=eps, has_bias=has_bias, act=act),
             grid=grid,
             in_specs=[xspec, wspec, aff, aff, bspec],
             out_specs=ospec,

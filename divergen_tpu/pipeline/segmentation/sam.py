@@ -44,6 +44,7 @@ class SAMImageEncoder(nn.Module):
     global_layers: Tuple[int, ...] = (7, 15, 23, 31)
     out_channels: int = 256
     dtype: Any = jnp.float32
+    ln_gemm: bool = False  # fold block LNs into consuming GEMMs (ViTBlock)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:  # (B, S, S, 3) normalized
@@ -56,7 +57,8 @@ class SAMImageEncoder(nn.Module):
         x = x + pos[None, : x.shape[1], : x.shape[2]].astype(x.dtype)
         for i in range(self.layers):
             win = 0 if i in self.global_layers else self.window
-            x = ViTBlock(self.dim, self.heads, win, self.dtype, name=f"block{i}")(x)
+            x = ViTBlock(self.dim, self.heads, win, self.dtype,
+                         ln_gemm=self.ln_gemm, name=f"block{i}")(x)
         # neck: 1x1 → LN → 3x3 → LN, 256 ch
         x = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="neck_conv1")(x)
         x = nn.LayerNorm(dtype=self.dtype, name="neck_ln1")(x)
@@ -249,13 +251,14 @@ class SAM(nn.Module):
         return self.decoder(emb, pe, sparse, dense)
 
     @classmethod
-    def vit_h(cls, dtype=jnp.float32) -> "SAM":
-        return cls(encoder=SAMImageEncoder(dtype=dtype))
+    def vit_h(cls, dtype=jnp.float32, ln_gemm: bool = False) -> "SAM":
+        return cls(encoder=SAMImageEncoder(dtype=dtype, ln_gemm=ln_gemm))
 
     @classmethod
-    def vit_b(cls, dtype=jnp.float32) -> "SAM":
+    def vit_b(cls, dtype=jnp.float32, ln_gemm: bool = False) -> "SAM":
         return cls(
-            encoder=SAMImageEncoder(dim=768, layers=12, heads=12, global_layers=(2, 5, 8, 11), dtype=dtype)
+            encoder=SAMImageEncoder(dim=768, layers=12, heads=12, global_layers=(2, 5, 8, 11),
+                                    dtype=dtype, ln_gemm=ln_gemm)
         )
 
     @classmethod

@@ -107,3 +107,56 @@ def test_unet_ln_gemm_param_tree_and_equivalence():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=5e-4, rtol=5e-4
     )
+
+
+@pytest.mark.parametrize("m,k,n,bm,bn", [
+    (32, 256, 384, 16, 128),
+    (64, 128, 512, 32, 256),
+])
+def test_ln_matmul_gelu_interpret(m, k, n, bm, bn):
+    x, w, gamma, beta, bias = _mk(m, k, n, jnp.float32, seed=4)
+    got = fused_ln_matmul(x, w, gamma, beta, 1e-5, bias, act="gelu",
+                          bm=bm, bn=bn, use_pallas=False, interpret=True)
+    want = _reference(x, w, gamma, beta, 1e-5, bias, False, act="gelu")
+    # erf via Abramowitz-Stegun in-kernel (|err|<1.5e-7 on erf, scaled by
+    # the GEMM output magnitude ~sqrt(k))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_vit_block_ln_gemm_param_tree_and_equivalence():
+    """ViTBlock(ln_gemm=True) accepts the default param tree and matches
+    outputs for BOTH the global-attention path (norm1 folded into qkv) and
+    the window path (norm1 stays XLA — reference pads AFTER the norm)."""
+    from divergen_tpu.modeling.backbone.vit import ViTBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 64))
+    for window in (0, 4):
+        base = ViTBlock(64, 2, window=window)
+        params = base.init(jax.random.PRNGKey(0), x)
+        fused = ViTBlock(64, 2, window=window, ln_gemm=True)
+        p2 = fused.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(p2)), f"window={window}"
+        ref = base.apply(params, x)
+        got = fused.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, rtol=5e-5, err_msg=f"window={window}")
+
+
+def test_sam_ln_gemm_equivalence():
+    """SAM tiny forward with encoder ln_gemm on/off: same params, same
+    masks+ious through the full promptable graph."""
+    from divergen_tpu.pipeline.segmentation.sam import SAM, SAMImageEncoder
+
+    enc = dict(img_size=64, dim=32, layers=2, heads=2, window=4, global_layers=(1,))
+    base = SAM(encoder=SAMImageEncoder(**enc))
+    fused = SAM(encoder=SAMImageEncoder(**enc, ln_gemm=True))
+    imgs = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3) * 255, jnp.float32)
+    pts = jnp.asarray([[[5.0, 5.0], [60.0, 60.0]]])
+    lbl = jnp.ones((1, 2), jnp.int32)
+    params = base.init(jax.random.PRNGKey(0), imgs, pts, lbl)
+    m0, i0 = base.apply(params, imgs, pts, lbl)
+    m1, i1 = fused.apply(params, imgs, pts, lbl)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i0), atol=1e-4, rtol=1e-4)

@@ -326,16 +326,18 @@ def test_fused_layer_norm_hardware_parity(rows, c):
 
 # ---------------- fused LN+GEMM ----------------
 @pytest.mark.parametrize(
-    "m,k,nmul,geglu",
+    "m,k,nmul,geglu,act",
     [
-        (8192, 1280, 3, False),   # level-2 qkv
-        (8192, 1280, 1, False),   # level-2 cross-q
-        (8192, 1280, 8, True),    # level-2 GEGLU epilogue
-        (32768, 640, 3, False),   # level-1 qkv
-        (32768, 640, 8, True),    # level-1 GEGLU
+        (8192, 1280, 3, False, "none"),   # SDXL level-2 qkv
+        (8192, 1280, 1, False, "none"),   # level-2 cross-q
+        (8192, 1280, 8, True, "none"),    # level-2 GEGLU epilogue
+        (32768, 640, 3, False, "none"),   # level-1 qkv
+        (32768, 640, 8, True, "none"),    # level-1 GEGLU
+        (16384, 1280, 4, False, "gelu"),  # SAM ViT-H norm2->mlp_fc1+GELU
+        (16384, 1280, 3, False, "none"),  # SAM ViT-H global norm1->qkv
     ],
 )
-def test_fused_ln_matmul_hardware_parity(m, k, nmul, geglu):
+def test_fused_ln_matmul_hardware_parity(m, k, nmul, geglu, act):
     from divergen_tpu.ops.pallas.ln_matmul import _reference, fused_ln_matmul
 
     rng = np.random.RandomState(5)
@@ -346,12 +348,12 @@ def test_fused_ln_matmul_hardware_parity(m, k, nmul, geglu):
     beta = jnp.asarray(rng.randn(k) * 0.1, jnp.float32)
     bias = jnp.asarray(rng.randn(n) * 0.1, jnp.float32)
     got = np.asarray(
-        jax.jit(lambda *a: fused_ln_matmul(*a, 1e-5, bias, geglu=geglu))(
+        jax.jit(lambda *a: fused_ln_matmul(*a, 1e-5, bias, geglu=geglu, act=act))(
             x, w, gamma, beta
         ),
         np.float32,
     )
-    want = np.asarray(_reference(x, w, gamma, beta, 1e-5, bias, geglu), np.float32)
+    want = np.asarray(_reference(x, w, gamma, beta, 1e-5, bias, geglu, act), np.float32)
     # bf16 GEMM over K<=1280 rows: reference also bf16 -> one-ulp scale
     np.testing.assert_allclose(got, want, atol=6e-2, rtol=6e-2)
 

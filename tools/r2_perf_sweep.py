@@ -99,6 +99,35 @@ def bench_unet(B, conv_matmul=False, int8=False, fused_ln=False, fused_gn=False,
     return per_step
 
 
+def bench_sam(ln_gemm):
+    """SAM ViT-H forward at 1024² B=4 (the bench.py chain stage): XLA LNs
+    vs LNs folded into the qkv/mlp GEMMs (ops/pallas/ln_matmul.py)."""
+    from divergen_tpu.pipeline.segmentation.sam import SAM
+
+    B = 4
+    sam = SAM.vit_h(dtype=jnp.bfloat16, ln_gemm=ln_gemm)
+    imgs = jnp.zeros((B, 1024, 1024, 3), jnp.float32)
+    pts = jnp.tile(
+        jnp.asarray([[10.0, 10.0], [1014, 10], [10, 1014], [1014, 1014]])[None],
+        (B, 1, 1))
+    lbl = jnp.ones((B, 4), jnp.int32)
+    params = jax.jit(sam.init)(jax.random.PRNGKey(0), imgs, pts, lbl)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    fwd = jax.jit(lambda p, im: sam.apply(p, im, pts, lbl)[0])
+
+    def run_k(k):
+        im = imgs
+        out = None
+        for _ in range(k):
+            out = fwd(params, im)
+            im = imgs + out[:, :1, :1, :1].reshape(B, 1, 1, 1) * 0
+        return fwd(params, im)
+
+    t = _diff_time(run_k, 0, 3, lambda o: np.asarray(o[0, 0, ::8, ::8]).sum())
+    print(json.dumps({"metric": f"sam_h_s_per_img_lngemm{int(ln_gemm)}",
+                      "value": round(t / B, 4)}), flush=True)
+
+
 def bench_swin(fused):
     import subprocess
     # separate process: MODEL.SWIN.FUSED_ATTN is baked into the jit
@@ -283,6 +312,8 @@ ALL_VARIANTS = {
     "ln_gemm": lambda: bench_unet(4, ln_gemm=True),
     "ln_gemm_geglu": lambda: bench_unet(4, ln_gemm="geglu"),
     "ln_gemm_b1": lambda: bench_unet(1, ln_gemm=True),
+    "sam": lambda: bench_sam(False),
+    "sam_ln_gemm": lambda: bench_sam(True),
     "swin": lambda: bench_swin(False),
     "swin_fused": lambda: bench_swin(True),
 }

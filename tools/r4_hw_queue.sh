@@ -17,4 +17,8 @@ timeout 3000 python tools/r2_perf_sweep.py --only ln_gemm >> "$LOG" 2>&1
 echo "== stage 3: swin packed window attention step ==" >> "$LOG"
 timeout 3000 python tools/r2_perf_sweep.py --only swin_fused >> "$LOG" 2>&1
 
+echo "== stage 4: SAM ln_gemm A/B ==" >> "$LOG"
+timeout 3000 python tools/r2_perf_sweep.py --only sam >> "$LOG" 2>&1
+timeout 3000 python tools/r2_perf_sweep.py --only sam_ln_gemm >> "$LOG" 2>&1
+
 echo "== done ==" >> "$LOG"
