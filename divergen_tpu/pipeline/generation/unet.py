@@ -14,6 +14,7 @@ Pallas flash kernel on TPU (XLA einsum fallback elsewhere).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -68,10 +69,25 @@ class _ChannelMomentGN(nn.Module):
         scale = self.param("scale", nn.initializers.ones_init(), (c,))
         bias = self.param("bias", nn.initializers.zeros_init(), (c,))
         xf = x.astype(jnp.float32)
-        # per-channel first and second moments over the spatial axes
-        # (sublane-major reduction — vectorizes cleanly)
-        s1 = jnp.mean(xf, axis=(1, 2))  # (B, C)
-        s2 = jnp.mean(xf * xf, axis=(1, 2))
+        if os.environ.get("DIVERGEN_GN_DOT") == "1":
+            # A/B toggle: spatial moments as ones-vector MXU contractions
+            # instead of VPU reduces — probing whether the
+            # 18-20x-over-bandwidth moment fusions in the r4 trace are the
+            # reduce's layout re-materialization. Squares in f32: bf16
+            # squares cancel catastrophically in E[x²]-E[x]² for channels
+            # with mean >> std (measured 6%-of-std drift on a full UNet).
+            # The contraction FLOPs are negligible either way.
+            x2 = xf.reshape(b, h * w, c)
+            ones = jnp.ones((h * w,), jnp.float32)
+            s1 = jnp.einsum("bnc,n->bc", x2, ones,
+                            preferred_element_type=jnp.float32) / (h * w)
+            s2 = jnp.einsum("bnc,n->bc", x2 * x2, ones,
+                            preferred_element_type=jnp.float32) / (h * w)
+        else:
+            # per-channel first and second moments over the spatial axes
+            # (sublane-major reduction — vectorizes cleanly)
+            s1 = jnp.mean(xf, axis=(1, 2))  # (B, C)
+            s2 = jnp.mean(xf * xf, axis=(1, 2))
         # combine channels within each group (tiny (B, g, C/g) reduce)
         gm = jnp.mean(s1.reshape(b, g, c // g), axis=-1)  # (B, g)
         g2 = jnp.mean(s2.reshape(b, g, c // g), axis=-1)

@@ -84,3 +84,22 @@ def test_unet_fused_norm_flags_same_params_and_output():
     y0 = base.apply(p0, lat + 0.1, jnp.ones((1,)), ctx + 0.2)
     y1 = fused.apply(p0, lat + 0.1, jnp.ones((1,)), ctx + 0.2)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5, rtol=1e-5)
+
+
+def test_gn_dot_stats_equivalence(monkeypatch):
+    """DIVERGEN_GN_DOT=1 (moments as MXU ones-contractions) matches the
+    reduce path within bf16 square-rounding tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from divergen_tpu.pipeline.generation.unet import GroupNorm32
+
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 16, 16, 64) * 2 + 0.5, jnp.bfloat16
+    )
+    gn = GroupNorm32(dtype=jnp.bfloat16)
+    params = gn.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(gn.apply(params, x), np.float32)
+    monkeypatch.setenv("DIVERGEN_GN_DOT", "1")
+    got = np.asarray(gn.apply(params, x), np.float32)
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)

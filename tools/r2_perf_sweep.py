@@ -293,6 +293,19 @@ def bench_ln_gemm_micro():
                       "value": results}), flush=True)
 
 
+def _with_env(key, val, fn):
+    import os
+    prev = os.environ.get(key)
+    os.environ[key] = val
+    try:
+        return fn()
+    finally:
+        if prev is None:
+            os.environ.pop(key, None)
+        else:
+            os.environ[key] = prev
+
+
 ALL_VARIANTS = {
     "ln_gemm_micro": bench_ln_gemm_micro,
     "norm_micro": bench_norm_micro,
@@ -314,6 +327,7 @@ ALL_VARIANTS = {
     "ln_gemm_b1": lambda: bench_unet(1, ln_gemm=True),
     "sam": lambda: bench_sam(False),
     "sam_ln_gemm": lambda: bench_sam(True),
+    "gn_dot": lambda: _with_env("DIVERGEN_GN_DOT", "1", lambda: bench_unet(4)),
     "swin": lambda: bench_swin(False),
     "swin_fused": lambda: bench_swin(True),
 }

@@ -21,4 +21,7 @@ echo "== stage 4: SAM ln_gemm A/B ==" >> "$LOG"
 timeout 3000 python tools/r2_perf_sweep.py --only sam >> "$LOG" 2>&1
 timeout 3000 python tools/r2_perf_sweep.py --only sam_ln_gemm >> "$LOG" 2>&1
 
+echo "== stage 5: GN dot-stats A/B ==" >> "$LOG"
+timeout 3000 python tools/r2_perf_sweep.py --only gn_dot >> "$LOG" 2>&1
+
 echo "== done ==" >> "$LOG"
