@@ -54,6 +54,11 @@ class ViTAttention(nn.Module):
     use_rel_pos: bool = True
     input_hw: Tuple[int, int] = (14, 14)
     dtype: Any = jnp.float32
+    # fused flash path for GLOBAL layers (ops/pallas/flash_attention.py
+    # flash_attention_relpos): the (BH, N, N) scores + decomposed-rel-pos
+    # bias never hit HBM (~1 GB/layer at 64x64 tokens in the XLA path).
+    # Forward-only — SAM inference; training backbones keep XLA.
+    flash_relpos: bool = False
 
     @nn.compact
     def __call__(self, x: Array, pre_ln=None) -> Array:  # (B, H, W, C)
@@ -77,13 +82,30 @@ class ViTAttention(nn.Module):
             qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, h * w, 3, self.heads, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * d**-0.5, k, preferred_element_type=jnp.float32)
         if self.use_rel_pos:
             rel_h = self.param("rel_pos_h", nn.initializers.zeros, (2 * h - 1, d))
             rel_w = self.param("rel_pos_w", nn.initializers.zeros, (2 * w - 1, d))
             rh = _rel_pos_bias(h, h, rel_h)
             rw = _rel_pos_bias(w, w, rel_w)
             qr = q.reshape(b, h, w, self.heads, d)
+        if self.use_rel_pos and self.flash_relpos:
+            from ...ops.pallas.flash_attention import flash_attention_relpos
+
+            # (BH, u|v, N) bias factors — the only rel-pos tensors that ever
+            # hit HBM; the (N, N) expansion happens per-tile in VMEM
+            bh_t = jnp.einsum("byxhd,yud->bhuyx", qr, rh).reshape(
+                b * self.heads, h, h * w).astype(jnp.float32)
+            bw_t = jnp.einsum("byxhd,xvd->bhvyx", qr, rw).reshape(
+                b * self.heads, w, h * w).astype(jnp.float32)
+            perm = lambda t: t.transpose(0, 2, 1, 3).reshape(b * self.heads, h * w, d)
+            out = flash_attention_relpos(
+                perm(q), perm(k), perm(v), bh_t, bw_t, (h, w)
+            )
+            out = out.reshape(b, self.heads, h * w, d).transpose(0, 2, 1, 3)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(
+                out.reshape(b, h, w, c).astype(self.dtype))
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * d**-0.5, k, preferred_element_type=jnp.float32)
+        if self.use_rel_pos:
             bias_h = jnp.einsum("byxhd,yud->bhyxu", qr, rh)
             bias_w = jnp.einsum("byxhd,xvd->bhyxv", qr, rw)
             bias = bias_h[..., :, None] + bias_w[..., None, :]
@@ -122,6 +144,7 @@ class ViTBlock(nn.Module):
     # semantics: segment-anything image_encoder Block.forward pads the
     # normalized tensor), so the norm can't move past the partition there.
     ln_gemm: bool = False
+    flash_attn: bool = False  # fused rel-pos flash on global layers (fwd-only)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -137,10 +160,12 @@ class ViTBlock(nn.Module):
         elif self.ln_gemm:
             ln1 = _LNParams(name="norm1")(c)
             y = ViTAttention(self.dim, self.heads, input_hw=(h, w),
-                             dtype=self.dtype, name="attn")(x, pre_ln=ln1)
+                             dtype=self.dtype, flash_relpos=self.flash_attn,
+                             name="attn")(x, pre_ln=ln1)
         else:
             y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-            y = ViTAttention(self.dim, self.heads, input_hw=(h, w), dtype=self.dtype, name="attn")(y)
+            y = ViTAttention(self.dim, self.heads, input_hw=(h, w), dtype=self.dtype,
+                             flash_relpos=self.flash_attn, name="attn")(y)
         x = x + y
         if self.ln_gemm:
             from ...ops.pallas.ln_matmul import fused_ln_matmul
@@ -169,6 +194,7 @@ class ViT(nn.Module):
     global_layers: Tuple[int, ...] = (2, 5, 8, 11)
     dtype: Any = jnp.float32
     ln_gemm: bool = False  # fold LNs into consuming GEMMs (ViTBlock)
+    flash_attn: bool = False  # fused rel-pos flash on global layers (fwd-only)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -180,7 +206,8 @@ class ViT(nn.Module):
         for i in range(self.layers):
             win = 0 if i in self.global_layers else self.window
             x = ViTBlock(self.dim, self.heads, win, self.dtype,
-                         ln_gemm=self.ln_gemm, name=f"block{i}")(x)
+                         ln_gemm=self.ln_gemm, flash_attn=self.flash_attn,
+                         name=f"block{i}")(x)
         return x  # (B, H/16, W/16, C)
 
 

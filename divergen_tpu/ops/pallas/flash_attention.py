@@ -411,3 +411,144 @@ def reference_attention(q: Array, k: Array, v: Array, bias: Array | None = None)
     return jnp.einsum(
         "bqk,bkd->bqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
     ).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# decomposed relative-position flash attention (ViTDet/SAM global layers)
+# ---------------------------------------------------------------------------
+#
+# SAM ViT-H's 4 global-attention layers at 64x64 tokens materialize
+# (BH, 4096, 4096) scores PLUS an equal-size decomposed-rel-pos bias in the
+# XLA path — ~1 GB of HBM round-trips per layer per image. The ViTDet bias
+# decomposes as bias[q=(y,x), k=(u,v)] = Bh[q, u] + Bw[q, v] (reference
+# semantics: segment-anything image_encoder add_decomposed_rel_pos), so the
+# kernel streams only the (BH, H, N) / (BH, W, N) factors and rebuilds each
+# score tile's bias in VMEM with sublane-axis broadcasts.
+#
+# Layout trick: the score tile is computed TRANSPOSED — s_t (block_k,
+# block_q) = k·qᵀ — so both bias expansions run along the sublane (major)
+# axis, where broadcast/reshape is free, and the online softmax reduces over
+# sublanes. The p@v contraction dot_general(((0,), (0,))) lands the
+# accumulator back in (block_q, d) without any transpose.
+#
+# Forward-only: used by the SAM inference graph (pipeline/segmentation/
+# sam.py); the detection ViT backbone keeps the XLA path for training.
+
+
+def _relpos_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref,
+                   m_scr, l_scr, acc_scr, *, scale, num_kv, block_k, w):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    du = block_k // w
+    # transposed score tile: (block_k, block_q)
+    s = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (scale * LOG2_E)
+    bh = bh_ref[0].astype(jnp.float32)  # (du, block_q)
+    bw = bw_ref[0].astype(jnp.float32)  # (w, block_q)
+    bias = (bh[:, None, :] + bw[None, :, :]).reshape(block_k, bh.shape[-1])
+    s = s + bias * LOG2_E
+    m_prev = m_scr[0]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=0))
+    p = jnp.exp2(s - m_cur[None, :])
+    alpha = jnp.exp2(m_prev - m_cur)
+    l_scr[0] = l_scr[0] * alpha + jnp.sum(p, axis=0)
+    acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[0] = m_cur
+
+    @pl.when(j == num_kv - 1)
+    def _():
+        o_ref[0] = (
+            acc_scr[:] / jnp.maximum(l_scr[0], 1e-30)[:, None]
+        ).astype(o_ref.dtype)
+
+
+def reference_attention_relpos(q, k, v, bias_h_t, bias_w_t, hw):
+    """XLA reference: q/k/v (BH, N, D); bias_h_t (BH, H, N); bias_w_t
+    (BH, W, N); hw = (H, W) with N = H*W."""
+    h, w = hw
+    bhn, n, d = q.shape
+    s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32)
+    s = s / math.sqrt(d)
+    bias = (bias_h_t[:, :, None, :] + bias_w_t[:, None, :, :])  # (BH,H,W,N)
+    s = s + bias.reshape(bhn, n, n).transpose(0, 2, 1).astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bqk,bkd->bqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+def flash_attention_relpos(
+    q: Array,  # (BH, N, D)
+    k: Array,
+    v: Array,
+    bias_h_t: Array,  # (BH, H, N) f32: Bh[b, u, q] (q flattened (y,x))
+    bias_w_t: Array,  # (BH, W, N) f32: Bw[b, v, q]
+    hw: tuple[int, int],
+    block_q: int = 512,
+    block_k: int | None = None,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> Array:
+    """Fused global attention with decomposed relative-position bias."""
+    hh, ww = hw
+    bh_n, n, d = q.shape
+    assert n == hh * ww
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if block_k is None:
+        block_k = max(ww, min(512 // ww * ww, n))
+    ok = (
+        (use_pallas or interpret)
+        and n % block_q == 0
+        and n % block_k == 0
+        and block_k % ww == 0
+        and block_q % 128 == 0
+    )
+    if not ok:
+        return reference_attention_relpos(q, k, v, bias_h_t, bias_w_t, hw)
+
+    scale = 1.0 / math.sqrt(d)
+    num_kv = n // block_k
+    du = block_k // ww
+    grid = (bh_n, n // block_q, num_kv)
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                           memory_space=pltpu.VMEM)
+    bh_spec = pl.BlockSpec((1, du, block_q), lambda b, i, j: (b, j, i),
+                           memory_space=pltpu.VMEM)
+    bw_spec = pl.BlockSpec((1, ww, block_q), lambda b, i, j: (b, 0, i),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((1, block_q), jnp.float32),
+        pltpu.VMEM((1, block_q), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+    return pl.pallas_call(
+        functools.partial(_relpos_kernel, scale=scale, num_kv=num_kv,
+                          block_k=block_k, w=ww),
+        out_shape=jax.ShapeDtypeStruct((bh_n, n, d), q.dtype),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, bh_spec, bw_spec],
+        out_specs=out_spec,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(q, k, v, bias_h_t, bias_w_t)

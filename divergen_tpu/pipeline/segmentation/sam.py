@@ -45,6 +45,7 @@ class SAMImageEncoder(nn.Module):
     out_channels: int = 256
     dtype: Any = jnp.float32
     ln_gemm: bool = False  # fold block LNs into consuming GEMMs (ViTBlock)
+    flash_attn: bool = False  # rel-pos flash on global layers (inference)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:  # (B, S, S, 3) normalized
@@ -58,7 +59,8 @@ class SAMImageEncoder(nn.Module):
         for i in range(self.layers):
             win = 0 if i in self.global_layers else self.window
             x = ViTBlock(self.dim, self.heads, win, self.dtype,
-                         ln_gemm=self.ln_gemm, name=f"block{i}")(x)
+                         ln_gemm=self.ln_gemm, flash_attn=self.flash_attn,
+                         name=f"block{i}")(x)
         # neck: 1x1 → LN → 3x3 → LN, 256 ch
         x = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="neck_conv1")(x)
         x = nn.LayerNorm(dtype=self.dtype, name="neck_ln1")(x)
@@ -251,8 +253,10 @@ class SAM(nn.Module):
         return self.decoder(emb, pe, sparse, dense)
 
     @classmethod
-    def vit_h(cls, dtype=jnp.float32, ln_gemm: bool = False) -> "SAM":
-        return cls(encoder=SAMImageEncoder(dtype=dtype, ln_gemm=ln_gemm))
+    def vit_h(cls, dtype=jnp.float32, ln_gemm: bool = False,
+              flash_attn: bool = False) -> "SAM":
+        return cls(encoder=SAMImageEncoder(dtype=dtype, ln_gemm=ln_gemm,
+                                           flash_attn=flash_attn))
 
     @classmethod
     def vit_b(cls, dtype=jnp.float32, ln_gemm: bool = False) -> "SAM":

@@ -160,3 +160,47 @@ def test_sam_ln_gemm_equivalence():
     m1, i1 = fused.apply(params, imgs, pts, lbl)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(i1), np.asarray(i0), atol=1e-4, rtol=1e-4)
+
+
+# --------- decomposed rel-pos flash attention (SAM/ViTDet global) ---------
+@pytest.mark.parametrize("bh,hw,d,bq", [
+    (2, (8, 8), 32, 128),     # du = 2 rows per k-tile (block_k=128)
+    (1, (16, 16), 16, 128),   # n=256, multi q/k tiles
+])
+def test_flash_relpos_interpret(bh, hw, d, bq):
+    from divergen_tpu.ops.pallas.flash_attention import (
+        flash_attention_relpos,
+        reference_attention_relpos,
+    )
+
+    h, w = hw
+    n = h * w
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(bh, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(bh, n, d), jnp.float32)
+    v = jnp.asarray(rng.randn(bh, n, d), jnp.float32)
+    bh_t = jnp.asarray(rng.randn(bh, h, n) * 0.3, jnp.float32)
+    bw_t = jnp.asarray(rng.randn(bh, w, n) * 0.3, jnp.float32)
+    got = flash_attention_relpos(q, k, v, bh_t, bw_t, hw, block_q=bq,
+                                 use_pallas=False, interpret=True)
+    want = reference_attention_relpos(q, k, v, bh_t, bw_t, hw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_vit_block_flash_relpos_equivalence():
+    """ViTBlock(flash_attn=True) global layer: same params, same outputs
+    (CPU: the kernel's XLA fallback — same math, reordered ops)."""
+    from divergen_tpu.modeling.backbone.vit import ViTBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 64))
+    base = ViTBlock(64, 2, window=0)
+    params = base.init(jax.random.PRNGKey(0), x)
+    fused = ViTBlock(64, 2, window=0, flash_attn=True)
+    p2 = fused.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+    ref = base.apply(params, x)
+    got = fused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

@@ -99,13 +99,14 @@ def bench_unet(B, conv_matmul=False, int8=False, fused_ln=False, fused_gn=False,
     return per_step
 
 
-def bench_sam(ln_gemm):
+def bench_sam(ln_gemm, flash_attn=False):
     """SAM ViT-H forward at 1024² B=4 (the bench.py chain stage): XLA LNs
-    vs LNs folded into the qkv/mlp GEMMs (ops/pallas/ln_matmul.py)."""
+    vs LNs folded into the qkv/mlp GEMMs (ops/pallas/ln_matmul.py), and the
+    XLA global attention vs the rel-pos flash kernel."""
     from divergen_tpu.pipeline.segmentation.sam import SAM
 
     B = 4
-    sam = SAM.vit_h(dtype=jnp.bfloat16, ln_gemm=ln_gemm)
+    sam = SAM.vit_h(dtype=jnp.bfloat16, ln_gemm=ln_gemm, flash_attn=flash_attn)
     imgs = jnp.zeros((B, 1024, 1024, 3), jnp.float32)
     pts = jnp.tile(
         jnp.asarray([[10.0, 10.0], [1014, 10], [10, 1014], [1014, 1014]])[None],
@@ -124,7 +125,8 @@ def bench_sam(ln_gemm):
         return fwd(params, im)
 
     t = _diff_time(run_k, 0, 3, lambda o: np.asarray(o[0, 0, ::8, ::8]).sum())
-    print(json.dumps({"metric": f"sam_h_s_per_img_lngemm{int(ln_gemm)}",
+    print(json.dumps({"metric": (f"sam_h_s_per_img_lngemm{int(ln_gemm)}"
+                                 f"_flash{int(flash_attn)}"),
                       "value": round(t / B, 4)}), flush=True)
 
 
@@ -327,6 +329,8 @@ ALL_VARIANTS = {
     "ln_gemm_b1": lambda: bench_unet(1, ln_gemm=True),
     "sam": lambda: bench_sam(False),
     "sam_ln_gemm": lambda: bench_sam(True),
+    "sam_flash": lambda: bench_sam(False, flash_attn=True),
+    "sam_full": lambda: bench_sam(True, flash_attn=True),
     "gn_dot": lambda: _with_env("DIVERGEN_GN_DOT", "1", lambda: bench_unet(4)),
     "swin": lambda: bench_swin(False),
     "swin_fused": lambda: bench_swin(True),

@@ -17,9 +17,11 @@ timeout 3000 python tools/r2_perf_sweep.py --only ln_gemm >> "$LOG" 2>&1
 echo "== stage 3: swin packed window attention step ==" >> "$LOG"
 timeout 3000 python tools/r2_perf_sweep.py --only swin_fused >> "$LOG" 2>&1
 
-echo "== stage 4: SAM ln_gemm A/B ==" >> "$LOG"
+echo "== stage 4: SAM ln_gemm / rel-pos flash A/B ==" >> "$LOG"
 timeout 3000 python tools/r2_perf_sweep.py --only sam >> "$LOG" 2>&1
 timeout 3000 python tools/r2_perf_sweep.py --only sam_ln_gemm >> "$LOG" 2>&1
+timeout 3000 python tools/r2_perf_sweep.py --only sam_flash >> "$LOG" 2>&1
+timeout 3000 python tools/r2_perf_sweep.py --only sam_full >> "$LOG" 2>&1
 
 echo "== stage 5: GN dot-stats A/B ==" >> "$LOG"
 timeout 3000 python tools/r2_perf_sweep.py --only gn_dot >> "$LOG" 2>&1
