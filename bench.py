@@ -73,7 +73,7 @@ def _diff_time(run_k, k_small, k_big, probe):
     return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
 
-def bench_sdxl(steps_full=50, B=1, int8=False, sampler="euler"):
+def bench_sdxl(steps_full=50, B=1, int8=False, sampler="euler", ln_gemm=False):
     import jax
     import jax.numpy as jnp
 
@@ -89,7 +89,7 @@ def bench_sdxl(steps_full=50, B=1, int8=False, sampler="euler"):
     )
     from divergen_tpu.pipeline.generation.vae import VAEDecoder
 
-    unet = UNetSDXL(dtype=jnp.bfloat16, quant=int8)
+    unet = UNetSDXL(dtype=jnp.bfloat16, quant=int8, ln_gemm=ln_gemm)
     float_unet = UNetSDXL(dtype=jnp.bfloat16)
     lat = jnp.zeros((B, 128, 128, 4), jnp.float32)
     ctx = jnp.zeros((2 * B, 77, 2048), jnp.bfloat16)
@@ -191,13 +191,13 @@ def bench_sdxl(steps_full=50, B=1, int8=False, sampler="euler"):
     return (t_denoise + t_vae) / B
 
 
-def bench_sam(B=4):
+def bench_sam(B=4, ln_gemm=False, flash_attn=False):
     import jax
     import jax.numpy as jnp
 
     from divergen_tpu.pipeline.segmentation.sam import SAM
 
-    sam = SAM.vit_h(dtype=jnp.bfloat16)
+    sam = SAM.vit_h(dtype=jnp.bfloat16, ln_gemm=ln_gemm, flash_attn=flash_attn)
     imgs = jnp.zeros((B, 1024, 1024, 3), jnp.float32)
     pts = jnp.tile(jnp.asarray([[10.0, 10.0], [1014, 10], [10, 1014], [1014, 1014]])[None], (B, 1, 1))
     lbl = jnp.ones((B, 4), jnp.int32)
@@ -305,6 +305,10 @@ def main():
     ap.add_argument("--steps", type=int, default=None,
                     help="default: 25 for dpmpp_2m, 50 for euler")
     ap.add_argument("--gen_only", action="store_true")
+    # kernel-fusion toggles (defaults = the measured optimum, SWEEP_r04):
+    ap.add_argument("--unet_ln_gemm", choices=["off", "geglu", "all"], default="off")
+    ap.add_argument("--sam_ln_gemm", type=int, default=0)
+    ap.add_argument("--sam_flash", type=int, default=0)
     ap.add_argument("--skip_probe", action="store_true",
                     help="skip the backend-availability preflight")
     args = ap.parse_args()
@@ -325,15 +329,17 @@ def main():
             return
 
     steps = args.steps or (25 if args.sampler == "dpmpp_2m" else 50)
+    lng = False if args.unet_ln_gemm == "off" else (
+        True if args.unet_ln_gemm == "all" else "geglu")
     t_gen = bench_sdxl(steps_full=steps, B=args.B, int8=args.int8,
-                       sampler=args.sampler)
+                       sampler=args.sampler, ln_gemm=lng)
     if args.gen_only:
         print(json.dumps({"metric": "sdxl_s_per_img", "value": round(t_gen, 4),
                           "unit": f"s/img B={args.B} int8={args.int8} "
                                   f"{args.sampler}-{steps}",
                           "vs_baseline": 0}))
         return
-    t_sam = bench_sam()
+    t_sam = bench_sam(ln_gemm=bool(args.sam_ln_gemm), flash_attn=bool(args.sam_flash))
     t_clip = bench_clip()
     t_paste = bench_paste()
     per_instance = t_gen + t_sam + t_clip + t_paste

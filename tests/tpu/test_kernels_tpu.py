@@ -412,3 +412,30 @@ def test_window_attention_packed_hardware_grads():
             np.asarray(b, np.float32), np.asarray(a, np.float32),
             atol=3e-2, rtol=3e-2, err_msg=f"d{name}",
         )
+
+
+# ---------------- rel-pos flash attention (SAM global layers) ----------------
+def test_flash_relpos_hardware_parity():
+    """SAM ViT-H global-layer shape: BH=B*16 heads, n=4096 (64x64), d=80.
+    The d=80 blocks span the full minor axis (no 128-multiple needed) and
+    the bias factors stream as (BH, 64, N) sublane blocks."""
+    from divergen_tpu.ops.pallas.flash_attention import (
+        flash_attention_relpos,
+        reference_attention_relpos,
+    )
+
+    rng = np.random.RandomState(9)
+    bh, hw, d = 8, (64, 64), 80
+    h, w = hw
+    n = h * w
+    q = jnp.asarray(rng.randn(bh, n, d), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(bh, n, d), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(bh, n, d), jnp.bfloat16)
+    bh_t = jnp.asarray(rng.randn(bh, h, n) * 0.3, jnp.float32)
+    bw_t = jnp.asarray(rng.randn(bh, w, n) * 0.3, jnp.float32)
+    got = np.asarray(
+        jax.jit(lambda *a: flash_attention_relpos(*a, hw))(q, k, v, bh_t, bw_t),
+        np.float32,
+    )
+    want = np.asarray(reference_attention_relpos(q, k, v, bh_t, bw_t, hw), np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)

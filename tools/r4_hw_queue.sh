@@ -8,7 +8,7 @@ cd /root/repo
 
 echo "== stage 1: hardware parity for the new kernels ==" >> "$LOG"
 DIVERGEN_TEST_TPU=1 timeout 3000 python -m pytest tests/tpu/test_kernels_tpu.py \
-  -k "ln_matmul or packed_hardware" -q >> "$LOG" 2>&1
+  -k "ln_matmul or packed_hardware or relpos" -q >> "$LOG" 2>&1
 
 echo "== stage 2: ln_gemm end-to-end A/B (baseline b4=419.09) ==" >> "$LOG"
 timeout 3000 python tools/r2_perf_sweep.py --only ln_gemm_geglu >> "$LOG" 2>&1
