@@ -334,8 +334,10 @@ class TransformerBlock(nn.Module):
     quant: bool = False
     fused_ln: bool = False  # Pallas LN (ops/pallas/layer_norm.py)
     # Pallas LN fused INTO the consuming GEMM (ops/pallas/ln_matmul):
-    # True/'all' = all three LN sites; 'geglu' = only norm3->GEGLU (the
-    # measured unambiguous winner, SWEEP_r04 ln_gemm_micro)
+    # True/'all' = all three LN sites; 'geglu' = only norm3->GEGLU.
+    # Default set by the end-to-end A/B in SWEEP_r05.json (ln_gemm /
+    # ln_gemm_geglu entries); the LN-moment cost it attacks is the
+    # trace_breakdown_B4_ms_of_420 entry in SWEEP_r04.json.
     ln_gemm: Any = False
 
     @nn.compact

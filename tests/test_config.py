@@ -101,9 +101,8 @@ DECLARED_ONLY = {
     "MODEL.ROI_BOX_HEAD.IGNORE_ZERO_CATS", "MODEL.ROI_BOX_HEAD.USE_BIAS",
     "MODEL.ROI_BOX_HEAD.DEL_RARE_CLS", "MODEL.ROI_BOX_HEAD.ADD_FEATURE_TO_PROP",
     "MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO", "MODEL.ROI_MASK_HEAD.POOLER_TYPE",
-    "MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK",  # mask head is class-agnostic
     "MODEL.ROI_MASK_HEAD.OUT_CHANNEL", "MODEL.ROI_MASK_HEAD.NUM_FCS",
-    "MODEL.ROI_MASK_HEAD.STAGE_NUM_CLASSES", "MODEL.ROI_MASK_HEAD.STAGE_SUP_SIZE",
+    "MODEL.ROI_MASK_HEAD.STAGE_NUM_CLASSES",
     # -- input conventions fixed TPU-side (RGB NHWC float; bitmask gt) --
     "INPUT.FORMAT", "INPUT.MASK_FORMAT", "INPUT.TEST_INPUT_TYPE",
     "INPUT.FILTER_VAL", "INPUT.LOG_SCP_PARAM", "INPUT.ACTIVE_SELECT",
