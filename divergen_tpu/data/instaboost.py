@@ -34,7 +34,6 @@ class InstaBoostConfig:
         color_prob: float = 0.5,
         hflag: bool = False,
     ):
-        assert not hflag, "heatmap-guided mode is not used by the reference configs"
         self.action_candidate = tuple(action_candidate)
         p = np.asarray(action_prob, np.float64)
         self.action_prob = p / max(p.sum(), 1e-9)
@@ -43,6 +42,11 @@ class InstaBoostConfig:
         self.dy = dy
         self.theta = theta
         self.color_prob = color_prob
+        # heatmap-guided placement (InstaBoost ICCV'19 §3.2 "appearance
+        # consistency heatmap"). The reference configs never enable it
+        # (custom_build_copypaste_mapper.py:615 passes hflag=False), but the
+        # instaboostfast surface exposes it, so it is implemented for parity.
+        self.hflag = hflag
 
 
 def _poly_mask(anns: Sequence[dict], h: int, w: int) -> np.ndarray:
@@ -81,6 +85,78 @@ def _jitter_color(img, mask, rng):
     return np.where(mask[..., None] > 0, out, img)
 
 
+def _heatmap_translation(
+    img: np.ndarray,
+    mask: np.ndarray,
+    bbox: Sequence[float],
+    rng: np.random.Generator,
+    stride: int = 8,
+    max_ring_px: int = 256,
+) -> Tuple[float, float]:
+    """Sample a (tx, ty) from the appearance-consistency heatmap.
+
+    InstaBoost ICCV'19 §3.2: the background descriptor of an instance is its
+    contour neighborhood — three dilation rings with decaying weights. A
+    candidate center (on a ``stride`` grid where the instance still fits)
+    scores by how closely the background under the *shifted* rings matches
+    the rings at the original location; the heatmap is a softmax over the
+    negative RGB distance, and the translation is drawn from it.
+    """
+    import cv2
+
+    h, w = img.shape[:2]
+    kernel = np.ones((5, 5), np.uint8)
+    d1 = cv2.dilate(mask, kernel, iterations=1).astype(bool)
+    d2 = cv2.dilate(mask, kernel, iterations=3).astype(bool)
+    d3 = cv2.dilate(mask, kernel, iterations=6).astype(bool)
+    rings = [d1 & ~mask.astype(bool), d2 & ~d1, d3 & ~d2]
+    weights = (0.6, 0.3, 0.1)
+
+    pys, pxs, pws, refs = [], [], [], []
+    f = img.astype(np.float32)
+    for ring, wgt in zip(rings, weights):
+        ys, xs = np.nonzero(ring)
+        if len(ys) == 0:
+            continue
+        if len(ys) > max_ring_px:
+            sel = rng.choice(len(ys), max_ring_px, replace=False)
+            ys, xs = ys[sel], xs[sel]
+        pys.append(ys)
+        pxs.append(xs)
+        pws.append(np.full(len(ys), wgt / len(ys), np.float32))
+        refs.append(f[ys, xs])
+    if not pys:
+        return 0.0, 0.0
+    pys = np.concatenate(pys)
+    pxs = np.concatenate(pxs)
+    pws = np.concatenate(pws)
+    refs = np.concatenate(refs)
+
+    x, y, bw, bh = bbox
+    cx, cy = x + bw / 2.0, y + bh / 2.0
+    # candidate centers where the box stays in frame
+    cxs = np.arange(bw / 2, w - bw / 2 + 1e-6, stride)
+    cys = np.arange(bh / 2, h - bh / 2 + 1e-6, stride)
+    if len(cxs) == 0 or len(cys) == 0:
+        return 0.0, 0.0
+    gx, gy = np.meshgrid(cxs, cys)
+    dx = (gx - cx).ravel()
+    dy = (gy - cy).ravel()
+    # shifted ring coordinates per candidate: (n_cand, n_px)
+    sy = np.clip(np.round(pys[None] + dy[:, None]).astype(np.int64), 0, h - 1)
+    sx = np.clip(np.round(pxs[None] + dx[:, None]).astype(np.int64), 0, w - 1)
+    diff = f[sy, sx] - refs[None]
+    dist = (np.square(diff).sum(-1) * pws[None]).sum(-1)
+    # adaptive temperature: the mean distance — scale-free across images
+    heat = np.exp(-dist / max(float(dist.mean()), 1e-6))
+    heat /= heat.sum()
+    pick = rng.choice(len(heat), p=heat)
+    # continuous within the stride cell
+    jx = rng.uniform(-stride / 2, stride / 2)
+    jy = rng.uniform(-stride / 2, stride / 2)
+    return float(dx[pick] + jx), float(dy[pick] + jy)
+
+
 def get_new_data(
     anns: List[dict],
     img: np.ndarray,  # (H, W, 3) uint8 RGB
@@ -112,11 +188,16 @@ def get_new_data(
         if action == "skip":
             mat = np.eye(3)
         else:
+            if cfg.hflag:
+                tx, ty = _heatmap_translation(img, m, ann["bbox"], rng)
+            else:
+                tx = rng.uniform(-cfg.dx, cfg.dx)
+                ty = rng.uniform(-cfg.dy, cfg.dy)
             mat = _affine(
                 cx, cy,
                 s=rng.uniform(*cfg.scale),
-                tx=rng.uniform(-cfg.dx, cfg.dx),
-                ty=rng.uniform(-cfg.dy, cfg.dy),
+                tx=tx,
+                ty=ty,
                 ang_deg=rng.uniform(*cfg.theta),
                 flip_x=cx if action == "horizontal" else None,
             )

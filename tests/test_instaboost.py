@@ -93,3 +93,48 @@ def test_mapper_gate_builds_and_runs(tmp_path):
     sample = mapper(record, np.random.default_rng(2))
     assert sample["image"].shape[2] == 3
     assert sample["gt"]["valid"].any()
+
+
+def test_heatmap_mode_places_on_matching_background():
+    """hflag=True (InstaBoost ICCV'19 appearance-consistency heatmap): on an
+    image whose left half matches the instance's surroundings and whose right
+    half is a very different color, sampled placements stay in the left half."""
+    side = 128
+    img = np.full((side, side, 3), 40, np.uint8)
+    img[:, side // 2:] = (250, 250, 250)  # hostile background on the right
+    img[40:72, 24:56] = (200, 60, 60)  # instance on the left
+    ann = {
+        "bbox": [24.0, 40.0, 32.0, 32.0],
+        "segmentation": [[24, 40, 56, 40, 56, 72, 24, 72]],
+        "category_id": 3,
+        "area": 32 * 32,
+    }
+    cfg = InstaBoostConfig(action_prob=(1, 0, 0), scale=(1.0, 1.0), dx=15,
+                           dy=15, theta=(0, 0), color_prob=0.0, hflag=True)
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        new_anns, _ = get_new_data([ann], img, cfg, rng)
+        assert len(new_anns) == 1
+        nb = new_anns[0]["bbox"]
+        cx = nb[0] + nb[2] / 2
+        # heatmap mass concentrates where background matches (left half);
+        # the box never lands fully inside the hostile right half
+        assert cx < side // 2 + 8, f"center {cx} drifted onto mismatched bg"
+
+
+def test_heatmap_translation_deterministic_and_in_bounds():
+    from divergen_tpu.data.instaboost import _heatmap_translation, _poly_mask
+
+    side = 96
+    img = np.full((side, side, 3), 90, np.uint8)
+    img[10:40, 10:40] = (10, 200, 10)
+    ann = {
+        "bbox": [10.0, 10.0, 30.0, 30.0],
+        "segmentation": [[10, 10, 40, 10, 40, 40, 10, 40]],
+    }
+    mask = _poly_mask([ann], side, side)
+    t1 = _heatmap_translation(img, mask, ann["bbox"], np.random.default_rng(7))
+    t2 = _heatmap_translation(img, mask, ann["bbox"], np.random.default_rng(7))
+    assert t1 == t2, "seeded rng must be deterministic"
+    cx, cy = 25 + t1[0], 25 + t1[1]
+    assert 10 <= cx <= side - 10 and 10 <= cy <= side - 10
