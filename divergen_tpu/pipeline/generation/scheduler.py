@@ -157,3 +157,68 @@ def dpmpp_2m_step(latents: Array, pred_x0: Array, pred_x0_prev: Array,
     d1 = (pred_x0 - pred_x0_prev) / jnp.where(use_first, 1.0, r0)
     x0_eff = jnp.where(use_first, pred_x0, pred_x0 + 0.5 * d1)
     return r * latents + (1.0 - r) * x0_eff
+
+
+# ---------------- DDPM, learned-range variance (DeepFloyd-IF stages) -------
+# Counterpart of the diffusers DDPMScheduler the IF pipelines construct
+# (variance_type="learned_range", thresholding=True, squaredcos_cap_v2
+# betas — reference loads them via DiffusionPipeline.from_pretrained,
+# generation/txt2img_diffusers_stages_from_txt.py:136-198). The UNet emits
+# 2·C channels: ε and a per-pixel variance interpolant v ∈ [−1, 1] between
+# the posterior (min) and β_t (max) log-variances.
+
+
+def ddpm_timesteps(cfg: SchedulerConfig, steps: int) -> np.ndarray:
+    """DDPMScheduler.set_timesteps 'leading' spacing."""
+    ratio = cfg.num_train_timesteps // steps
+    return (np.arange(steps) * ratio).round()[::-1].astype(np.int64)
+
+
+def dynamic_threshold(x0: Array, ratio: float = 0.95,
+                      max_value: float = 1.5) -> Array:
+    """diffusers _threshold_sample: per-sample abs-quantile s (clamped to
+    [1, max_value]), clip to ±s and rescale into [−1, 1]."""
+    b = x0.shape[0]
+    flat = jnp.abs(x0.reshape(b, -1)).astype(jnp.float32)
+    s = jnp.quantile(flat, ratio, axis=1)
+    s = jnp.clip(s, 1.0, max_value).reshape((b,) + (1,) * (x0.ndim - 1))
+    return jnp.clip(x0, -s, s) / s
+
+
+def ddpm_learned_range_step(
+    cfg: SchedulerConfig,
+    latents: Array,
+    eps: Array,
+    var_pred: Array,  # same shape as latents, the learned interpolant
+    t: Array,
+    prev_t: Array,
+    noise: Array,
+    thresholding: bool = True,
+    threshold_ratio: float = 0.95,
+    threshold_max: float = 1.5,
+) -> Array:
+    """One ancestral DDPM step with the learned-range variance
+    (DDPMScheduler.step semantics). ``prev_t < 0`` means the final step
+    (ᾱ_prev = 1, no noise)."""
+    ac = jnp.asarray(cfg.alphas_cumprod, jnp.float32)
+    abar_t = ac[t]
+    abar_prev = jnp.where(prev_t >= 0, ac[jnp.maximum(prev_t, 0)], 1.0)
+    current_alpha = abar_t / abar_prev
+    current_beta = 1.0 - current_alpha
+
+    x0 = (latents - jnp.sqrt(1.0 - abar_t) * eps) / jnp.sqrt(abar_t)
+    if thresholding:
+        x0 = dynamic_threshold(x0, threshold_ratio, threshold_max)
+
+    coef_x0 = jnp.sqrt(abar_prev) * current_beta / (1.0 - abar_t)
+    coef_xt = jnp.sqrt(current_alpha) * (1.0 - abar_prev) / (1.0 - abar_t)
+    mean = coef_x0 * x0 + coef_xt * latents
+
+    posterior_var = (1.0 - abar_prev) / (1.0 - abar_t) * current_beta
+    min_log = jnp.log(jnp.clip(posterior_var, 1e-20))
+    max_log = jnp.log(jnp.clip(current_beta, 1e-20))
+    frac = (var_pred.astype(jnp.float32) + 1.0) / 2.0
+    log_var = frac * max_log + (1.0 - frac) * min_log
+
+    stochastic = mean + jnp.exp(0.5 * log_var) * noise
+    return jnp.where(t > 0, stochastic, mean).astype(latents.dtype)

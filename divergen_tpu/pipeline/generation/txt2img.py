@@ -46,7 +46,18 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="diffusers AutoencoderKL checkpoint (decoder weights)")
     p.add_argument("--bpe_path", type=str, default="",
                    help="CLIP BPE merges file for the tokenizer")
-    p.add_argument("--stages", type=str, nargs="+", default=["XL"])
+    p.add_argument("--stages", type=str, nargs="+", default=["XL"],
+                   help="XL [x4] = SDXL headline path; I [II] = the "
+                        "reference's DeepFloyd-IF cascade (64² stage I, "
+                        "optional 64→256 stage II)")
+    p.add_argument("--if_unet_ckpt", type=str, default="",
+                   help="diffusers IF-I UNet checkpoint (stage I)")
+    p.add_argument("--if_unet_ckpt2", type=str, default="",
+                   help="diffusers IF-II UNet checkpoint (stage II)")
+    p.add_argument("--t5_dir", type=str, default="",
+                   help="T5 encoder dir (transformers layout) for IF text "
+                        "conditioning, run host-side; hash-random fallback "
+                        "otherwise")
     p.add_argument("--offset", type=int, default=0)
     p.add_argument("--disable_overwrite", action="store_true", default=False)
     p.add_argument("--height", type=int, default=1024)
@@ -177,8 +188,164 @@ def encode_prompts_random(prompts: List[str], ctx_dim: int, seed: int = 0):
     return jnp.asarray(np.stack(outs))
 
 
+def _build_if_pipelines(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .if_unet import IFStageIIPipeline, IFStageIPipeline, IFUNet
+
+    if args.tiny:
+        u1 = IFUNet(channels=(8, 16), layers_per_block=1, encoder_dim=16,
+                    head_dim=4, pool_heads=2, dtype=jnp.bfloat16)
+    elif args.if_unet_ckpt:
+        u1 = IFUNet.if_i_xl()
+    else:
+        # random-weight smoke sizing: the 4.3B XL tree in f32 init does not
+        # fit a 16 GB chip without a (bf16) checkpoint to load into it
+        u1 = IFUNet(channels=(128, 256, 512, 512), dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+
+    def init_unet(u, cin, nl):
+        kw = {"noise_level": jnp.zeros((1,), jnp.int32)} if nl else {}
+        return jax.jit(
+            lambda: u.init(rng, jnp.zeros((1, 16, 16, cin)),
+                           jnp.zeros((1,), jnp.int32),
+                           jnp.zeros((1, 4, u.encoder_dim)), **kw)
+        )()
+
+    if args.if_unet_ckpt:
+        from ...utils.torch_weights import load_if_unet_params
+
+        p1 = load_if_unet_params(args.if_unet_ckpt, u1)
+    else:
+        p1 = init_unet(u1, u1.in_channels, False)
+    pipe1 = IFStageIPipeline(u1, p1, steps=args.steps,
+                             guidance_scale=args.guidance)
+    pipe2 = None
+    if "II" in args.stages:
+        if args.tiny:
+            u2 = IFUNet(channels=(8, 16), layers_per_block=1, encoder_dim=16,
+                        head_dim=4, pool_heads=2, in_channels=6,
+                        noise_level_cond=True, dtype=jnp.bfloat16)
+        elif args.if_unet_ckpt2:
+            u2 = IFUNet.if_ii_l()
+        else:
+            u2 = IFUNet(channels=(64, 128, 256, 256), in_channels=6,
+                        attn_start=2, noise_level_cond=True,
+                        dtype=jnp.bfloat16)
+        if args.if_unet_ckpt2:
+            from ...utils.torch_weights import load_if_unet_params
+
+            p2 = load_if_unet_params(args.if_unet_ckpt2, u2)
+        else:
+            p2 = init_unet(u2, 6, True)
+        pipe2 = IFStageIIPipeline(u2, p2, steps=max(args.steps // 2, 2))
+    return pipe1, pipe2
+
+
+def _if_text_encoder(args, encoder_dim):
+    """T5 states for IF conditioning: host-side transformers T5 when
+    --t5_dir is given (the reference's stage_1.encode_prompt,
+    txt2img_diffusers_stages_from_txt.py:242), hash-random otherwise."""
+    if not args.t5_dir:
+        return lambda prompts: encode_prompts_random(prompts, encoder_dim)
+    import torch
+    from transformers import AutoTokenizer, T5EncoderModel
+
+    tok = AutoTokenizer.from_pretrained(args.t5_dir)
+    t5 = T5EncoderModel.from_pretrained(args.t5_dir).eval()
+
+    def encode(prompts):
+        import jax.numpy as jnp
+
+        with torch.no_grad():
+            b = tok(prompts, padding="max_length", max_length=77,
+                    truncation=True, return_tensors="pt")
+            out = t5(input_ids=b.input_ids,
+                     attention_mask=b.attention_mask).last_hidden_state
+        return jnp.asarray(out.numpy()[..., :encoder_dim])
+
+    return encode
+
+
+def run_if_cascade(args) -> int:
+    """DeepFloyd-IF generation path (reference stages I/II loop,
+    txt2img_diffusers_stages_from_txt.py:240-292): stage I 64² CFG denoise,
+    optional stage II 64→256 super-resolution; reference dir layout
+    (samples/I, samples/II) and {cat}_{count:07d}.png naming."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    rank = jax.process_index() if args.dist else int(os.environ.get("RANK", 0))
+    world = jax.process_count() if args.dist else int(os.environ.get("WORLD_SIZE", 1))
+    per_rank = args.n_samples // world
+    assert per_rank * world == args.n_samples, "n_samples must divide by world size"
+
+    pipe1, pipe2 = _build_if_pipelines(args)
+    size = 16 if args.tiny else 64
+    dirs = {"I": os.path.join(args.outdir, "samples", "I")}
+    if pipe2 is not None:
+        dirs["II"] = os.path.join(args.outdir, "samples", "II")
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    encode = _if_text_encoder(args, pipe1.unet.encoder_dim)
+    unc_ctx = encode([""])
+
+    files = _prompt_files(args.from_file)
+    jobs = []
+    if files:
+        for f in files:
+            cat = os.path.basename(f).split(".")[0]
+            with open(f) as fh:
+                lines = [l.strip() for l in fh.read().splitlines() if l.strip()]
+            for pi, prompt in enumerate(sorted(lines)):
+                jobs.append((cat, prompt, pi))
+    else:
+        jobs.append(("prompt", args.prompt, 0))
+
+    n_done = 0
+    for cat, prompt, pi in jobs:
+        ctx = encode([prompt])
+        for start in range(0, per_rank, args.max_batch_size):
+            bs = min(args.max_batch_size, per_rank - start)
+            counts = [
+                args.offset + pi * args.n_samples + rank * per_rank + start + j
+                for j in range(bs)
+            ]
+            names = [f"{cat}_{c:07d}.png" for c in counts]
+            if args.disable_overwrite and all(
+                os.path.exists(os.path.join(d, n))
+                for d in dirs.values() for n in names
+            ):
+                continue
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(args.seed + rank), pi * 100000 + start
+            )
+            ctx_b = jnp.tile(ctx, (bs, 1, 1))
+            unc_b = jnp.tile(unc_ctx, (bs, 1, 1))
+            imgs = pipe1.generate(rng, ctx_b, unc_b, size=size)
+            out8 = np.asarray((imgs + 1.0) * 127.5).astype(np.uint8)
+            for img, n in zip(out8, names):
+                cv2.imwrite(os.path.join(dirs["I"], n),
+                            cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+                n_done += 1
+            if pipe2 is not None:
+                up = pipe2.generate(jax.random.fold_in(rng, 7), imgs,
+                                    ctx_b, unc_b, scale=2 if args.tiny else 4)
+                up8 = np.asarray((up + 1.0) * 127.5).astype(np.uint8)
+                for img, n in zip(up8, names):
+                    cv2.imwrite(os.path.join(dirs["II"], n),
+                                cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    print(f"done: {n_done} images → {dirs['I']}")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.stages and args.stages[0] == "I":
+        return run_if_cascade(args)
     import jax
     import jax.numpy as jnp
 
