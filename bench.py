@@ -73,9 +73,13 @@ def _diff_time(run_k, k_small, k_big, probe):
     return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
 
-def bench_sdxl(steps_full=50, B=1, int8=False, sampler="euler", ln_gemm=False):
+def bench_sdxl(steps_full=50, B=1, int8=False, sampler="euler", ln_gemm=False,
+               encoder_reuse=False):
     import jax
     import jax.numpy as jnp
+
+    if encoder_reuse and sampler != "dpmpp_2m":
+        raise ValueError("bench --encoder_reuse is measured under dpmpp_2m")
 
     from divergen_tpu.pipeline.generation.scheduler import (
         dpmpp_2m_step,
@@ -130,6 +134,51 @@ def bench_sdxl(steps_full=50, B=1, int8=False, sampler="euler", ln_gemm=False):
             return (eu + 7.5 * (ec - eu)).astype(l.dtype)
 
         if sampler == "dpmpp_2m":
+            if encoder_reuse:
+                # Faster-Diffusion alternation (pipeline.py dpmpp branch):
+                # full UNet on even steps, mid+up over the cached down-path
+                # on odd steps. The k=2→10 differencing window covers steps
+                # 2..9 = 4 full + 4 reuse — the steady-state average; the
+                # hoisted cache0 eval cancels between the two chain lengths.
+                @jax.jit
+                def run(params, latents):
+                    x0g = latents / jnp.sqrt(sig_j[0] ** 2 + 1.0)
+                    _, cache0 = unet.apply(
+                        params, jnp.concatenate([x0g, x0g], axis=0),
+                        jnp.broadcast_to(ts_j[0], (2 * B,)), ctx, pooled,
+                        tids, return_encoder=True,
+                    )
+
+                    def body(carry, i):
+                        l, x0_prev, cache = carry
+                        x = l / jnp.sqrt(sig_j[i] ** 2 + 1.0)
+                        x2 = jnp.concatenate([x, x], axis=0)
+                        t2 = jnp.broadcast_to(ts_j[i], (2 * B,))
+
+                        def full(x2, t2, cache):
+                            return unet.apply(params, x2, t2, ctx, pooled,
+                                              tids, return_encoder=True)
+
+                        def reuse(x2, t2, cache):
+                            return unet.apply(params, x2, t2, ctx, pooled,
+                                              tids, cached_encoder=cache), cache
+
+                        eps2, cache = jax.lax.cond(
+                            i % 2 == 0, full, reuse, x2, t2, cache
+                        )
+                        eu, ec = jnp.split(eps2, 2, axis=0)
+                        eps = (eu + 7.5 * (ec - eu)).astype(l.dtype)
+                        x0 = l - sig_j[i] * eps
+                        l = dpmpp_2m_step(l, x0, x0_prev, i, sig_j, steps_full)
+                        return (l, x0, cache), None
+
+                    (out, _, _), _ = jax.lax.scan(
+                        body, (latents, jnp.zeros_like(latents), cache0),
+                        jnp.arange(k),
+                    )
+                    return out
+
+                return run
 
             @jax.jit
             def run(params, latents):
@@ -307,6 +356,9 @@ def main():
     ap.add_argument("--gen_only", action="store_true")
     # kernel-fusion toggles (defaults = the measured optimum, SWEEP_r04):
     ap.add_argument("--unet_ln_gemm", choices=["off", "geglu", "all"], default="off")
+    ap.add_argument("--encoder_reuse", action="store_true",
+                    help="Faster-Diffusion cache under dpmpp_2m "
+                         "(approximate — A/B knob, not the headline default)")
     ap.add_argument("--sam_ln_gemm", type=int, default=0)
     ap.add_argument("--sam_flash", type=int, default=0)
     ap.add_argument("--skip_probe", action="store_true",
@@ -332,7 +384,8 @@ def main():
     lng = False if args.unet_ln_gemm == "off" else (
         True if args.unet_ln_gemm == "all" else "geglu")
     t_gen = bench_sdxl(steps_full=steps, B=args.B, int8=args.int8,
-                       sampler=args.sampler, ln_gemm=lng)
+                       sampler=args.sampler, ln_gemm=lng,
+                       encoder_reuse=args.encoder_reuse)
     if args.gen_only:
         print(json.dumps({"metric": "sdxl_s_per_img", "value": round(t_gen, 4),
                           "unit": f"s/img B={args.B} int8={args.int8} "

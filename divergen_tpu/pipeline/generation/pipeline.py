@@ -86,8 +86,6 @@ class SDXLPipeline:
         if sampler == "dpmpp_2m":
             # DPM-Solver++ 2M: the standard quality-neutral 25–30-step
             # setting (~2x fewer UNet evals than Euler-50 at equal quality)
-            if encoder_reuse:
-                raise ValueError("encoder_reuse is Euler-only")
             ts, sigmas = dpmpp_timesteps_sigmas(self.sched, steps)
             self._init_scale = dpmpp_init_noise_scale(sigmas)
         else:
@@ -135,6 +133,48 @@ class SDXLPipeline:
 
         if self.sampler == "dpmpp_2m":
             # multistep: carry the previous step's x0 prediction
+
+            if self.encoder_reuse:
+                # Faster-Diffusion cache (arXiv:2312.09608) under the 2M
+                # solver: full UNet on even steps, mid+up-only on odd steps
+                # over the cached down-path — same alternation as the Euler
+                # path; the multistep x0 history is carried alongside
+                x2_0, t2_0 = unet_in(latents, 0)
+                _, cache0 = self.unet.apply(
+                    unet_params, x2_0, t2_0, ctx, pl, tid, return_encoder=True
+                )
+
+                def body(carry, i):
+                    lat, x0_prev, cache = carry
+                    x2, t2 = unet_in(lat, i)
+
+                    def full(x2, t2, cache):
+                        return self.unet.apply(
+                            unet_params, x2, t2, ctx, pl, tid,
+                            return_encoder=True,
+                        )
+
+                    def reuse(x2, t2, cache):
+                        eps2 = self.unet.apply(
+                            unet_params, x2, t2, ctx, pl, tid,
+                            cached_encoder=cache,
+                        )
+                        return eps2, cache
+
+                    eps2, cache = jax.lax.cond(
+                        i % 2 == 0, full, reuse, x2, t2, cache
+                    )
+                    eps_u, eps_c = jnp.split(eps2, 2, axis=0)
+                    eps = (eps_u + g * (eps_c - eps_u)).astype(lat.dtype)
+                    x0 = lat - sigmas[i] * eps
+                    lat = dpmpp_2m_step(lat, x0, x0_prev, i, sigmas, self.steps)
+                    return (lat, x0, cache), None
+
+                (latents, _, _), _ = jax.lax.scan(
+                    body, (latents, jnp.zeros_like(latents), cache0),
+                    jnp.arange(self.steps),
+                )
+                return latents
 
             def body(carry, i):
                 lat, x0_prev = carry

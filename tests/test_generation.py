@@ -272,3 +272,36 @@ def test_upscaler_text_encoder_dedicated_tower():
     assert ctx.shape == (2, 77, 16)
     assert np.isfinite(np.asarray(ctx)).all()
     assert not np.allclose(np.asarray(ctx[0]), np.asarray(ctx[1]))
+
+
+def test_pipeline_encoder_reuse_dpmpp():
+    """Faster-Diffusion cache under the DPM-Solver++ 2M sampler: step 0
+    (full) must match the exact path bit-for-bit; the alternating reuse
+    trajectory stays finite and close to the exact one (approximation,
+    opt-in — quality bound documented rather than asserted tight)."""
+    import jax
+    import jax.numpy as jnp
+
+    from divergen_tpu.pipeline.generation.pipeline import SDXLPipeline
+    from divergen_tpu.pipeline.generation.unet import UNetSDXL
+
+    unet = UNetSDXL.tiny(dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.asarray(np.random.RandomState(0).rand(1, 7, 64), jnp.float32)
+    up = unet.init(rng, lat, jnp.zeros((1,)), ctx)
+
+    def run(steps, reuse):
+        pipe = SDXLPipeline(unet, up, None, None, steps=steps,
+                            encoder_reuse=reuse, sampler="dpmpp_2m")
+        return np.asarray(
+            pipe.generate(rng, ctx, ctx * 0.5, height=64, width=64,
+                          decode=False))
+
+    # one step → only the full branch runs → exact equality
+    np.testing.assert_allclose(run(1, True), run(1, False), atol=1e-6)
+    a, b = run(6, True), run(6, False)
+    assert np.isfinite(a).all()
+    rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9)
+    assert rel < 0.5, f"reuse trajectory diverged (rel={rel:.3f})"
+    assert rel > 0.0  # it IS an approximation — not silently identical
