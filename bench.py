@@ -355,7 +355,10 @@ def main():
                     help="default: 25 for dpmpp_2m, 50 for euler")
     ap.add_argument("--gen_only", action="store_true")
     # kernel-fusion toggles (defaults = the measured optimum, SWEEP_r04):
-    ap.add_argument("--unet_ln_gemm", choices=["off", "geglu", "all"], default="off")
+    ap.add_argument("--unet_ln_gemm", choices=["off", "geglu", "all"],
+                    default="geglu",
+                    help="geglu = measured winner (SWEEP_r05: 419->382 ms "
+                         "B=4 step); off reproduces the r4 baseline")
     ap.add_argument("--encoder_reuse", action="store_true",
                     help="Faster-Diffusion cache under dpmpp_2m "
                          "(approximate — A/B knob, not the headline default)")

@@ -493,7 +493,12 @@ class UNetSDXL(nn.Module):
     conv_matmul: Any = False  # resblock 3x3 convs as GEMMs: True/'im2col'|'tapsum'
     fused_ln: bool = False  # Pallas LayerNorm in transformer blocks
     fused_gn: bool = False  # Pallas GroupNorm(+SiLU) in res/transformer blocks
-    ln_gemm: Any = False  # fold transformer LNs into their consuming GEMMs
+    # fold transformer LNs into their consuming GEMMs. Default "geglu"
+    # (norm3→GEGLU only): measured end-to-end winner on v5e — B=4 denoise
+    # step 419.09 → 381.78 ms (SWEEP_r05 ln_gemm_geglu); "all" three LN
+    # sites regresses to 404.59 ms (the QKV sites' k-replication cost
+    # exceeds their LN saving at these shapes).
+    ln_gemm: Any = "geglu"
     dtype: Any = jnp.float32
 
     @nn.compact
