@@ -362,8 +362,11 @@ def main():
     ap.add_argument("--encoder_reuse", action="store_true",
                     help="Faster-Diffusion cache under dpmpp_2m "
                          "(approximate — A/B knob, not the headline default)")
-    ap.add_argument("--sam_ln_gemm", type=int, default=0)
-    ap.add_argument("--sam_flash", type=int, default=0)
+    # defaults measured on v5e (SWEEP_r05): flash+ln_gemm encode 0.096 s/img
+    # vs 0.1642 plain; ln_gemm WITHOUT flash OOMs vit_h (the unflashed
+    # 4096-token attention already fills HBM), so the pair flips together
+    ap.add_argument("--sam_ln_gemm", type=int, default=1)
+    ap.add_argument("--sam_flash", type=int, default=1)
     ap.add_argument("--skip_probe", action="store_true",
                     help="skip the backend-availability preflight")
     args = ap.parse_args()

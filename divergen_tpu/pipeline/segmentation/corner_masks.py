@@ -33,6 +33,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dist", action="store_true", default=False)
     p.add_argument("--disable_overwrite", action="store_true", default=True)
     p.add_argument("--tiny", action="store_true", help="tiny random model (smoke)")
+    # Hardware-measured defaults (SWEEP_r05 sam_h_s_per_img_*): rel-pos flash
+    # on the 4096-token global layers + LN folded into the consuming GEMMs cut
+    # ViT-H encode 0.1642 -> 0.096 s/img on v5e. --no_fused_encoder restores
+    # the plain path (e.g. for interpret-mode debugging off-TPU).
+    p.add_argument("--no_fused_encoder", action="store_true", default=False)
     return p
 
 
@@ -50,12 +55,13 @@ def build_sam(args):
 
     from .sam import SAM
 
+    fused = not getattr(args, "no_fused_encoder", False)
     if args.tiny:
         sam = SAM.tiny(img_size=args.img_size)
     elif args.model_type == "vit_b":
         sam = SAM.vit_b(dtype=jnp.bfloat16)
     else:
-        sam = SAM.vit_h(dtype=jnp.bfloat16)
+        sam = SAM.vit_h(dtype=jnp.bfloat16, ln_gemm=fused, flash_attn=fused)
     dummy = jnp.zeros((1, args.img_size, args.img_size, 3))
     pts = jnp.zeros((1, 4, 2))
     lbl = jnp.ones((1, 4), jnp.int32)
