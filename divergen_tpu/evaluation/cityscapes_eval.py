@@ -95,9 +95,19 @@ class LVISToCityscapesInstanceEvaluator:
         try:
             import cityscapesscripts.evaluation.evalInstanceLevelSemanticLabeling as cs_eval
         except ImportError:
-            return {"segm": {"AP": float("nan"), "AP50": float("nan"),
-                             "note": f"predictions dumped to {self.out_dir}; "
-                                     "install cityscapesscripts to score"}}
+            # score natively (cityscapes_instance_scoring.py implements the
+            # published protocol); only give up when there is no GT to read
+            if not self.gt_dir:
+                return {"segm": {"AP": float("nan"), "AP50": float("nan"),
+                                 "note": f"predictions dumped to {self.out_dir}; "
+                                         "no gt_dir given for native scoring"}}
+            from .cityscapes_instance_scoring import score_prediction_dir
+
+            eval_ids = [lid for _, lid in CITYSCAPES_THING_LABELS]
+            res = score_prediction_dir(self.out_dir, self.gt_dir, eval_ids=eval_ids)
+            return {"segm": {"AP": res["allAp"] * 100,
+                             "AP50": res["allAp50%"] * 100,
+                             "scorer": "native"}}
         import glob
 
         cs_eval.args.predictionPath = os.path.abspath(self.out_dir)
