@@ -259,10 +259,27 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, 
 
 
 def _packed_kernel2(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                    scale, num_kv, d):
+                    scale, num_kv, d, softmax_mode="exact"):
     """Two adjacent heads per grid step: the (1, block, 2D) channel block
     fills all 128 lanes at D=64 (a single-head block leaves half the lane
-    tile empty in VMEM and DMA); the softmax body runs per sub-head."""
+    tile empty in VMEM and DMA); the softmax body runs per sub-head.
+
+    ``softmax_mode`` — the kernel is VPU(softmax)-bound at SDXL shapes
+    (the two depth-64 dots are ~3 us/step while the score-tile VPU chain
+    is ~2-3x that), so the variants trim full-score-tile VPU ops:
+
+    * ``"exact"``: scale applied to the score tile, f32 exp2, separate
+      bf16 cast for the p@v dot (3 full-tile ops around exp2).
+    * ``"rawmax"``: running max kept in RAW score units (max commutes with
+      the positive scale), scale folded into the exp2 argument's
+      multiply-subtract — one fused full-tile FMA instead of mul+sub,
+      algebraically identical output.
+    * ``"bf16exp"``: rawmax + exp2 computed directly in bf16 — drops the
+      separate f32->bf16 cast tile; l accumulates in f32 via the reduce's
+      accumulator dtype. Argument rounding to bf16 perturbs tail
+      probabilities by ~2^-8 relative (head terms, |x| near 0, are
+      near-exact); A/B'd end-to-end before any default flip.
+    """
     j = pl.program_id(3)
 
     @pl.when(j == 0)
@@ -271,6 +288,7 @@ def _packed_kernel2(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
+    c = scale * LOG2_E
     for t in range(2):
         sl = slice(t * d, (t + 1) * d)
         q = q_ref[0][:, sl]
@@ -278,12 +296,28 @@ def _packed_kernel2(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         v = v_ref[0][:, sl]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2_E)
-        m_prev = m_scr[:, t]
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
-        p = jnp.exp2(s - m_cur[:, None])
-        alpha = jnp.exp2(m_prev - m_cur)
-        l_scr[:, t] = l_scr[:, t] * alpha + jnp.sum(p, axis=-1)
+        )
+        if softmax_mode == "exact":
+            s = s * c
+            m_prev = m_scr[:, t]
+            m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+            p = jnp.exp2(s - m_cur[:, None])
+            alpha = jnp.exp2(m_prev - m_cur)
+            l_scr[:, t] = l_scr[:, t] * alpha + jnp.sum(p, axis=-1)
+        else:
+            # m_scr holds the RAW-unit running max; per-row scaling happens
+            # on (block_q,) vectors, the score tile sees one FMA + exp2
+            m_prev = m_scr[:, t]
+            m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+            x = s * c - (m_cur * c)[:, None]
+            if softmax_mode == "bf16exp":
+                p = jnp.exp2(x.astype(jnp.bfloat16))
+                row_sum = jnp.sum(p, axis=-1, dtype=jnp.float32)
+            else:
+                p = jnp.exp2(x)
+                row_sum = jnp.sum(p, axis=-1)
+            alpha = jnp.exp2((m_prev - m_cur) * c)
+            l_scr[:, t] = l_scr[:, t] * alpha + row_sum
         acc_scr[:, sl] = acc_scr[:, sl] * alpha[:, None] + jnp.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
@@ -302,7 +336,7 @@ def _packed_kernel2(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
 def flash_attention_packed(
     qkv: Array, heads: int, use_pallas: bool | None = None, interpret: bool = False,
-    heads_per_block: int | None = None,
+    heads_per_block: int | None = None, softmax_mode: str = "exact",
 ) -> Array:
     """Self-attention on a fused-QKV projection without any head transpose.
 
@@ -376,7 +410,8 @@ def flash_attention_packed(
         pltpu.VMEM((block_q, bd), jnp.float32),
     ]
     kernel = (
-        functools.partial(_packed_kernel2, scale=scale, num_kv=num_kv, d=d)
+        functools.partial(_packed_kernel2, scale=scale, num_kv=num_kv, d=d,
+                          softmax_mode=softmax_mode)
         if hpb == 2
         else functools.partial(_packed_kernel, scale=scale, num_kv=num_kv)
     )

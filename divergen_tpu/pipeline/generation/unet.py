@@ -384,8 +384,12 @@ class TransformerBlock(nn.Module):
             return lambda t: ln(t.reshape(-1, t.shape[-1])).reshape(t.shape)
 
         lng = self.ln_gemm if not self.quant else False
-        use_lng = lng in (True, "all")  # qkv/cross-q sites
-        use_lng_ff = lng in (True, "all", "geglu")  # GEGLU site
+        # per-site granularity ('all' r5 A/B regressed vs 'geglu'; 'qkv'
+        # isolates whether norm1->QKV or norm2->cross-q is the regressor:
+        # cross-q's C-wide output is the worst LN-replication ratio)
+        use_lng = lng in (True, "all", "qkv")  # norm1 -> fused QKV site
+        use_lng_xq = lng in (True, "all")  # norm2 -> cross-attention q site
+        use_lng_ff = lng in (True, "all", "geglu", "qkv")  # GEGLU site
         # one fused (C, 3C) projection instead of three (C, C) GEMMs, feeding
         # the packed transpose-free flash kernel: the (B, N, 3, H, d) view is
         # free and the kernel slices q/k/v via BlockSpec index maps
@@ -404,8 +408,17 @@ class TransformerBlock(nn.Module):
             q1, k1, v1 = jnp.split(qkv, 3, axis=-1)
             x = x + dense(c, "attn1_out")(_attention(q1, k1, v1, self.heads))
         else:
-            x = x + dense(c, "attn1_out")(flash_attention_packed(qkv, self.heads))
-        if use_lng:
+            # softmax_mode trims full-score-tile VPU ops in the VPU-bound
+            # packed kernel — see _packed_kernel2 docstring. Default
+            # "rawmax" (algebraically identical to "exact", scaling
+            # commuted out of the running max): B=4 denoise step 382.37 →
+            # 379.57 ms end-to-end, micro −3.7% at the 4096-token level
+            # (SWEEP_r05 attn entries); "bf16exp" measured a wash.
+            sm = _os.environ.get("DIVERGEN_ATTN_SOFTMAX", "rawmax")
+            x = x + dense(c, "attn1_out")(
+                flash_attention_packed(qkv, self.heads, softmax_mode=sm)
+            )
+        if use_lng_xq:
             q = ln_dense(x, c, "norm2", "attn2_q", use_bias=False)
         else:
             q = dense(c, "attn2_q", use_bias=False)(norm("norm2")(x))

@@ -74,10 +74,11 @@ def test_ln_matmul_fallback_shapes():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_unet_ln_gemm_param_tree_and_equivalence():
-    """UNetSDXL(ln_gemm=True) accepts the default module's param tree and
-    matches its outputs (CPU: the kernel's XLA reference path — same math,
-    different fusion)."""
+@pytest.mark.parametrize("mode", [True, "qkv"])
+def test_unet_ln_gemm_param_tree_and_equivalence(mode):
+    """UNetSDXL(ln_gemm=True/'qkv') accepts the default module's param tree
+    and matches its outputs (CPU: the kernel's XLA reference path — same
+    math, different fusion)."""
     import jax
 
     from divergen_tpu.pipeline.generation.unet import UNetSDXL
@@ -103,7 +104,7 @@ def test_unet_ln_gemm_param_tree_and_equivalence():
     )
     params = base.init(jax.random.PRNGKey(0), x, t, ctx, pooled, tids)
     ref = base.apply(params, x, t, ctx, pooled, tids)
-    got = UNetSDXL(ln_gemm=True, **kw).apply(params, x, t, ctx, pooled, tids)
+    got = UNetSDXL(ln_gemm=mode, **kw).apply(params, x, t, ctx, pooled, tids)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=5e-4, rtol=5e-4
     )

@@ -265,6 +265,19 @@ class TestAttention:
             out3, self._packed_reference(np.asarray(qkv3), 3), atol=2e-3, rtol=2e-3
         )
 
+    @pytest.mark.parametrize("mode,tol", [("rawmax", 2e-3), ("bf16exp", 2e-2)])
+    def test_packed_softmax_mode_variants(self, rng, mode, tol):
+        """VPU-trimming softmax variants (hpb=2 kernel): `rawmax` keeps the
+        running max in raw score units (algebraically identical — same
+        tolerance as exact); `bf16exp` rounds the exp2 argument to bf16
+        (tail-probability perturbation ~2^-8, hence the looser bound)."""
+        qkv = jnp.array(rng.randn(1, 256, 3 * 4 * 64).astype(np.float32))
+        out = flash_attention_packed(qkv, heads=4, interpret=True,
+                                     heads_per_block=2, softmax_mode=mode)
+        np.testing.assert_allclose(
+            out, self._packed_reference(np.asarray(qkv), 4), atol=tol, rtol=tol
+        )
+
 
 @pytest.mark.parametrize("mode", ["im2col", "tapsum"])
 def test_conv3x3_gemm_matches_nn_conv(mode):

@@ -45,6 +45,22 @@ def test_flash_attention_packed_parity(b, n, h, d, hpb):
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.parametrize("mode,tol", [("rawmax", 2e-3), ("bf16exp", 2e-2)])
+def test_flash_attention_packed_softmax_modes(mode, tol):
+    """The VPU-trimming softmax variants on hardware (hpb=2 kernel):
+    rawmax must stay within the exact kernel's tolerance; bf16exp's bf16
+    exp2 argument loosens it to ~2^-8-scale output error."""
+    from divergen_tpu.ops.pallas.flash_attention import flash_attention_packed
+
+    rng = np.random.RandomState(2)
+    qkv = jnp.asarray(rng.randn(2, 1024, 3 * 10 * 64), jnp.float32)
+    got = np.asarray(flash_attention_packed(qkv, heads=10, use_pallas=True,
+                                            heads_per_block=2,
+                                            softmax_mode=mode))
+    want = np.asarray(flash_attention_packed(qkv, heads=10, use_pallas=False))
+    np.testing.assert_allclose(got, want, atol=tol, rtol=tol)
+
+
 # ---------------- fused window attention ----------------
 @pytest.mark.parametrize("h", [3, 12, 24])  # 24 heads → multiple head blocks
 def test_window_attention_hardware_parity(h):

@@ -93,6 +93,14 @@ def bench_unet(B, conv_matmul=False, int8=False, fused_ln=False, fused_gn=False,
         tag += f"_ln{int(fused_ln)}gn{int(fused_gn)}"
     if ln_gemm:
         tag += f"_lngemm-{ln_gemm}"
+    # env-var A/B knobs must be visible in the record (the r5 gn_dot entry
+    # initially landed under the plain-baseline key)
+    import os as _os
+    if _os.environ.get("DIVERGEN_GN_DOT") == "1":
+        tag += "_gndot"
+    sm = _os.environ.get("DIVERGEN_ATTN_SOFTMAX", "exact")
+    if sm != "exact":
+        tag += f"_attn-{sm}"
     print(json.dumps({"metric": tag,
                       "value": round(per_step * 1e3, 2),
                       "per_img_50step_s": round(per_step * 50 / B, 3)}), flush=True)
@@ -326,12 +334,19 @@ ALL_VARIANTS = {
     "fused_norms_b1": lambda: bench_unet(1, fused_ln=True, fused_gn=True),
     "ln_gemm": lambda: bench_unet(4, ln_gemm=True),
     "ln_gemm_geglu": lambda: bench_unet(4, ln_gemm="geglu"),
+    "ln_gemm_qkv": lambda: bench_unet(4, ln_gemm="qkv"),
     "ln_gemm_b1": lambda: bench_unet(1, ln_gemm=True),
     "sam": lambda: bench_sam(False),
     "sam_ln_gemm": lambda: bench_sam(True),
     "sam_flash": lambda: bench_sam(False, flash_attn=True),
     "sam_full": lambda: bench_sam(True, flash_attn=True),
     "gn_dot": lambda: _with_env("DIVERGEN_GN_DOT", "1", lambda: bench_unet(4)),
+    "attn_rawmax": lambda: _with_env(
+        "DIVERGEN_ATTN_SOFTMAX", "rawmax",
+        lambda: bench_unet(4, ln_gemm="geglu")),
+    "attn_bf16exp": lambda: _with_env(
+        "DIVERGEN_ATTN_SOFTMAX", "bf16exp",
+        lambda: bench_unet(4, ln_gemm="geglu")),
     "swin": lambda: bench_swin(False),
     "swin_fused": lambda: bench_swin(True),
 }
