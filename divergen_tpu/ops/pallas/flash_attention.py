@@ -353,6 +353,9 @@ def flash_attention_packed(
     b, n, c3 = qkv.shape
     h = heads
     assert c3 % (3 * h) == 0
+    # unknown strings must fail loudly, not silently run the rawmax branch
+    # (the mode can arrive from the DIVERGEN_ATTN_SOFTMAX env var)
+    assert softmax_mode in ("exact", "rawmax", "bf16exp"), softmax_mode
     d = c3 // (3 * h)
     scale = 1.0 / math.sqrt(d)
     if use_pallas is None:
