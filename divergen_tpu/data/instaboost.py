@@ -142,11 +142,19 @@ def _heatmap_translation(
     gx, gy = np.meshgrid(cxs, cys)
     dx = (gx - cx).ravel()
     dy = (gy - cy).ravel()
-    # shifted ring coordinates per candidate: (n_cand, n_px)
-    sy = np.clip(np.round(pys[None] + dy[:, None]).astype(np.int64), 0, h - 1)
-    sx = np.clip(np.round(pxs[None] + dx[:, None]).astype(np.int64), 0, w - 1)
-    diff = f[sy, sx] - refs[None]
-    dist = (np.square(diff).sum(-1) * pws[None]).sum(-1)
+    # shifted ring coordinates per candidate, in bounded chunks: the full
+    # (n_cand, n_px) index/gather tensors reach ~1 GB transient on a
+    # 2048×1024 image (32k candidates × ~768 ring px), per instance, inside
+    # dataloader workers — chunking bounds it to a few MB with identical
+    # results
+    dist = np.empty(len(dx), np.float32)
+    chunk = max(1, (1 << 20) // max(len(pys), 1))
+    for s in range(0, len(dx), chunk):
+        e = s + chunk
+        sy = np.clip(np.round(pys[None] + dy[s:e, None]).astype(np.int32), 0, h - 1)
+        sx = np.clip(np.round(pxs[None] + dx[s:e, None]).astype(np.int32), 0, w - 1)
+        diff = f[sy, sx] - refs[None]
+        dist[s:e] = (np.square(diff).sum(-1) * pws[None]).sum(-1)
     # adaptive temperature: the mean distance — scale-free across images
     heat = np.exp(-dist / max(float(dist.mean()), 1e-6))
     heat /= heat.sum()

@@ -104,7 +104,15 @@ class LVISToCityscapesInstanceEvaluator:
             from .cityscapes_instance_scoring import score_prediction_dir
 
             eval_ids = [lid for _, lid in CITYSCAPES_THING_LABELS]
-            res = score_prediction_dir(self.out_dir, self.gt_dir, eval_ids=eval_ids)
+            try:
+                res = score_prediction_dir(self.out_dir, self.gt_dir,
+                                           eval_ids=eval_ids)
+            except FileNotFoundError as e:
+                # a wrong/empty gt_dir must not crash the eval loop at the
+                # end of a long run — the dumped predictions stay scoreable
+                return {"segm": {"AP": float("nan"), "AP50": float("nan"),
+                                 "note": f"native scoring skipped: {e}; "
+                                         f"predictions dumped to {self.out_dir}"}}
             return {"segm": {"AP": res["allAp"] * 100,
                              "AP50": res["allAp50%"] * 100,
                              "scorer": "native"}}

@@ -164,8 +164,7 @@ class InstanceScorer:
         has no GT anywhere (excluded from the average, cityscapes rule)."""
         y_true: List[int] = []
         y_score: List[float] = []
-        hard_fns = 0
-        n_gt = 0
+        n_gt = 0  # unmatched GT count only here (hard FNs): recall denominator
         for im in images:
             n_gt += len(im.gt_sizes)
             matched = np.zeros(len(im.gt_sizes), bool)
@@ -193,7 +192,6 @@ class InstanceScorer:
                     if frac <= overlap:
                         y_true.append(0)
                         y_score.append(im.pred_conf[pi])
-            hard_fns += int((~matched).sum())
             for gi in range(len(im.gt_sizes)):
                 if matched[gi]:
                     y_true.append(1)
@@ -212,14 +210,17 @@ class InstanceScorer:
         fp = np.cumsum(1 - yt)[distinct].astype(np.float64)
         prec = tp / np.maximum(tp + fp, 1)
         rec = tp / n_gt  # denominator includes the hard FNs
-        # artificial endpoints + trapezoid integration
-        prec = np.r_[1.0, prec, 0.0]
-        rec = np.r_[0.0, rec, 1.0]
+        # cityscapes integration: only the (p=1, r=0) artificial start point,
+        # trapezoid over the ACHIEVED recall range — unreached recall
+        # contributes nothing (an extra (p=0, r=1) endpoint would add a
+        # phantom (1-r_max)*p_last/2 area and inflate AP whenever any GT
+        # instance is missed)
+        prec = np.r_[1.0, prec]
+        rec = np.r_[0.0, rec]
         return float(np.sum(np.diff(rec) * (prec[1:] + prec[:-1]) / 2.0))
 
     def summarize(self) -> Dict[str, object]:
         per_class: Dict[str, Dict[str, float]] = {}
-        cols = {float(o): [] for o in self.overlaps}
         for cls in self.eval_ids:
             images = self._per_class.get(cls, [])
             aps = {float(o): self._class_ap(images, float(o)) for o in self.overlaps}
@@ -230,9 +231,6 @@ class InstanceScorer:
                 "ap": float(np.mean(vals)),
                 "ap50%": aps[0.5] if aps[0.5] is not None else float("nan"),
             }
-            for o, v in aps.items():
-                if v is not None:
-                    cols[o].append(v)
         all_ap = float(np.mean([c["ap"] for c in per_class.values()])) if per_class else float("nan")
         all_ap50 = (
             float(np.mean([c["ap50%"] for c in per_class.values()])) if per_class else float("nan")

@@ -95,6 +95,21 @@ class SDXLPipeline:
         self._sigmas = jnp.asarray(sigmas, jnp.float32)
         self._denoise = jax.jit(self._denoise_fn)
 
+    def _zero_encoder_cache(self, unet_params, x2, t2, ctx, pl, tid):
+        """Scan-carry template for the Faster-Diffusion down-path cache:
+        shapes via ``jax.eval_shape`` (zero compute) — the old full UNet
+        forward here only supplied the carry STRUCTURE; its eps was
+        discarded and step 0 recomputed the same pass inside the scan."""
+        import jax
+
+        shapes = jax.eval_shape(
+            lambda p: self.unet.apply(
+                p, x2, t2, ctx, pl, tid, return_encoder=True
+            )[1],
+            unet_params,
+        )
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
     def _denoise_fn(self, unet_params, latents, context, uncond_context,
                     pooled, uncond_pooled, time_ids):
         g = self.guidance
@@ -140,8 +155,8 @@ class SDXLPipeline:
                 # over the cached down-path — same alternation as the Euler
                 # path; the multistep x0 history is carried alongside
                 x2_0, t2_0 = unet_in(latents, 0)
-                _, cache0 = self.unet.apply(
-                    unet_params, x2_0, t2_0, ctx, pl, tid, return_encoder=True
+                cache0 = self._zero_encoder_cache(
+                    unet_params, x2_0, t2_0, ctx, pl, tid
                 )
 
                 def body(carry, i):
@@ -203,9 +218,7 @@ class SDXLPipeline:
 
         # encoder-reuse path: carry the cached down-path features
         x2_0, t2_0 = unet_in(latents, 0)
-        _, cache0 = self.unet.apply(
-            unet_params, x2_0, t2_0, ctx, pl, tid, return_encoder=True
-        )
+        cache0 = self._zero_encoder_cache(unet_params, x2_0, t2_0, ctx, pl, tid)
 
         def body(carry, i):
             lat, cache = carry

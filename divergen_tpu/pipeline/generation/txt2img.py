@@ -346,6 +346,15 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     if args.stages and args.stages[0] == "I":
         return run_if_cascade(args)
+    if "I" in args.stages or "II" in args.stages:
+        # '--stages II' (or any IF combo not led by stage I) must not fall
+        # through to the SDXL path and write 1024² SDXL images into
+        # samples/II — the cascade is driven by stage I's latents, so a
+        # II-only resume is not a supported entry (run --stages I II)
+        raise SystemExit(
+            f"IF cascade stages {args.stages} must start with 'I' "
+            "(e.g. --stages I II); the SDXL path uses --stages XL [x4]"
+        )
     import jax
     import jax.numpy as jnp
 

@@ -40,6 +40,22 @@ def test_perfect_match_is_ap_1():
     assert res["classes"]["car"]["ap"] == pytest.approx(1.0)
 
 
+def test_partial_recall_has_no_phantom_area():
+    # 2 GT cars, one found perfectly, one missed, no FPs: PR curve reaches
+    # only recall 0.5 at precision 1 -> AP must be 0.5. (An artificial
+    # (p=0, r=1) endpoint would trapezoid a phantom +0.25 — the protocol
+    # integrates over ACHIEVED recall only.)
+    gt = _canvas()
+    gt[10:30, 10:30] = CAR * 1000 + 1
+    gt[40:60, 40:60] = CAR * 1000 + 2
+    pred = _rect_mask(64, 64, 10, 30, 10, 30)
+    s = InstanceScorer()
+    s.add_image(gt, [(pred, CAR, 0.9)])
+    res = s.summarize()
+    assert res["allAp"] == pytest.approx(0.5)
+    assert res["allAp50%"] == pytest.approx(0.5)
+
+
 def test_miss_plus_false_positive_is_ap_0():
     gt = _canvas()
     gt[10:30, 10:30] = CAR * 1000 + 1

@@ -264,3 +264,18 @@ def test_txt2img_cli_if_stages(tmp_path):
     assert im1.shape[0] * 2 == im2.shape[0]  # tiny mode: 2x stage II
     # idempotent resume: --disable_overwrite skips existing files
     assert main(argv + ["--disable_overwrite"]) == 0
+
+
+def test_txt2img_cli_rejects_stage_ii_without_i(tmp_path):
+    """'--stages II' must error, not silently run the SDXL path and write
+    1024² SDXL outputs into samples/II (the cascade is driven by stage I's
+    latents; II-only resume is not a supported entry)."""
+    import pytest
+
+    from divergen_tpu.pipeline.generation.txt2img import main
+
+    pf = tmp_path / "77.txt"
+    pf.write_text("a photo of a single widget\n")
+    with pytest.raises(SystemExit, match="must start with 'I'"):
+        main(["--from_file", str(pf), "--outdir", str(tmp_path / "out"),
+              "--n_samples", "2", "--tiny", "--steps", "2", "--stages", "II"])

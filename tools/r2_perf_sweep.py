@@ -94,11 +94,13 @@ def bench_unet(B, conv_matmul=False, int8=False, fused_ln=False, fused_gn=False,
     if ln_gemm:
         tag += f"_lngemm-{ln_gemm}"
     # env-var A/B knobs must be visible in the record (the r5 gn_dot entry
-    # initially landed under the plain-baseline key)
+    # initially landed under the plain-baseline key). The EFFECTIVE softmax
+    # mode mirrors unet.py's env default ("rawmax" since r5) — untagged keys
+    # mean "exact" in every round's record, so a plain run today is tagged.
     import os as _os
     if _os.environ.get("DIVERGEN_GN_DOT") == "1":
         tag += "_gndot"
-    sm = _os.environ.get("DIVERGEN_ATTN_SOFTMAX", "exact")
+    sm = _os.environ.get("DIVERGEN_ATTN_SOFTMAX", "rawmax")
     if sm != "exact":
         tag += f"_attn-{sm}"
     print(json.dumps({"metric": tag,
@@ -343,7 +345,10 @@ ALL_VARIANTS = {
     "gn_dot": lambda: _with_env("DIVERGEN_GN_DOT", "1", lambda: bench_unet(4)),
     "attn_rawmax": lambda: _with_env(
         "DIVERGEN_ATTN_SOFTMAX", "rawmax",
-        lambda: bench_unet(4, ln_gemm="geglu")),
+        lambda: bench_unet(4, ln_gemm="geglu")),  # = the shipped default
+    "attn_exact": lambda: _with_env(
+        "DIVERGEN_ATTN_SOFTMAX", "exact",
+        lambda: bench_unet(4, ln_gemm="geglu")),  # pre-r5 baseline A/B
     "attn_bf16exp": lambda: _with_env(
         "DIVERGEN_ATTN_SOFTMAX", "bf16exp",
         lambda: bench_unet(4, ln_gemm="geglu")),
